@@ -1,0 +1,209 @@
+"""One scheduling **wave** = one DataFrame job (SURVEY.md §3.2).
+
+This is the engine's reinterpretation of the reference's crawler loop
+(``[U] tweetf0rm/process/twitter_crawler.py``: BRPOP a command →
+dispatch → cursor-paginate the API → hand results to handlers →
+enqueue BFS expansions). One wave:
+
+  frontier(QUEUED) → canonicalize → anti-join seen → robots filter
+  → per-domain politeness top-k → global sort + limit → fetch batch
+  → mapInPandas fetch+extract (Arrow) → explode(outlinks) → depth+1
+  → dedupe → next frontier;   lineage counters per domain.
+
+Everything before the fetch UDF is pure built-ins (whole-stage
+codegen); the single Python crossing is the Arrow-batched
+fetch+extract. Column pruning discipline: scheduling never touches
+``html`` — only the fetch join reads it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .canon import canon_url_col, host_col, registered_domain_col, url_hash_col
+from .extract import extract_outlinks, extract_text
+from .operators.dedupe import anti_join_seen, dedupe_within
+from .operators.politeness import DEFAULT_BUDGET, N_SALTS, apply_politeness
+from .operators.priority import priority_col
+from .operators.robots import robots_verdict
+
+#: frontier schema (SURVEY.md §1.2)
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "registered_domain", "depth", "priority",
+    "state", "wave",
+]
+
+_FETCH_OUT_SCHEMA = (
+    "url string, url_hash long, host string, registered_domain string, "
+    "depth int, priority double, fetch_order int, warc_ts timestamp, "
+    "html binary, text string, lang string, outlinks array<string>"
+)
+
+
+@dataclass
+class WaveResult:
+    wave: int
+    fetch_batch: DataFrame      # scheduled urls in fetch order (no html)
+    fetched: DataFrame          # fetch+extract output (with text/outlinks)
+    frontier_next: DataFrame    # QUEUED rows for wave+1 (deferred ∪ new)
+    seen_next: DataFrame        # (url, url_hash) after this wave
+    lineage: DataFrame          # per (wave, registered_domain) counters
+
+
+def canonicalized(frontier: DataFrame) -> DataFrame:
+    """Attach canonical identity columns (built-in chain, no Python)."""
+    c = canon_url_col(F.col("url"))
+    df = frontier.withColumn("url", c)
+    df = df.withColumn("url_hash", url_hash_col(F.col("url")))
+    df = df.withColumn("host", host_col(F.col("url")))
+    return df.withColumn("registered_domain", registered_domain_col(F.col("host")))
+
+
+def init_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
+    """Wave-0 frontier from a seed list (url [, seed_rank])."""
+    df = seeds.select("url")
+    df = canonicalized(df)
+    df = dedupe_within(df, order_cols=("url",))
+    return (
+        df.withColumn("depth", F.lit(0))
+        .withColumn("priority", priority_col(1.0, F.col("depth"), 0.0))
+        .withColumn("state", F.lit("QUEUED"))
+        .withColumn("wave", F.lit(0))
+        .select(*FRONTIER_COLS)
+    )
+
+
+def empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "url string, url_hash long")
+
+
+def _fetch_extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: html → (text, outlinks). Vectorized batch transfer;
+    the per-document parser is the unavoidable Python interior of the
+    reference's extraction step (BASELINE.json:L6 'vectorized Arrow UDFs
+    that also perform HTML-to-text extraction')."""
+    cols = [
+        "url", "url_hash", "host", "registered_domain", "depth", "priority",
+        "fetch_order", "warc_ts", "html", "text", "lang", "outlinks",
+    ]
+    for pdf in batches:
+        out = pdf.assign(
+            text=pdf["html"].map(extract_text, na_action="ignore"),
+            outlinks=pdf["html"].map(extract_outlinks, na_action="ignore"),
+        )
+        yield out[cols]
+
+
+def run_wave(
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen: DataFrame,
+    pages: DataFrame,
+    robots_rules: DataFrame,
+    politeness_budget: DataFrame | None = None,
+    wave: int = 0,
+    batch_size: int | None = None,
+    n_salts: int = N_SALTS,
+    default_budget: int = DEFAULT_BUDGET,
+) -> WaveResult:
+    """Run one scheduling+fetch wave. All outputs are lazy DataFrames."""
+    cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"))
+    cand = dedupe_within(cand.select(*FRONTIER_COLS))
+
+    # 1. dedupe vs seen-set (left anti hash join; bloom pre-check slots
+    #    in front of this in the filtered path — operators/dedupe.py)
+    novel = anti_join_seen(cand, seen)
+
+    # 2. robots (broadcast per-host rule cache, zero candidate shuffle)
+    ruled = robots_verdict(novel, robots_rules)
+    blocked = ruled.filter(~F.col("robots_allowed"))
+    allowed = ruled.filter(F.col("robots_allowed")).drop(
+        "robots_allowed", "crawl_delay"
+    )
+
+    # 3. politeness: per-domain budget, salted exact two-phase top-k
+    polite = apply_politeness(
+        allowed, politeness_budget, n_salts=n_salts, default_budget=default_budget
+    )
+    in_budget = polite.filter(F.col("within_budget"))
+    deferred = polite.filter(~F.col("within_budget"))
+
+    # 4. global fetch order: (priority desc, depth, url_hash) [+ limit]
+    w = Window.orderBy(F.desc("priority"), F.asc("depth"), F.asc("url_hash"))
+    batch = in_budget.withColumn("fetch_order", F.row_number().over(w))
+    if batch_size is not None:
+        over = batch.filter(F.col("fetch_order") > batch_size)
+        deferred = deferred.unionByName(
+            over.drop("fetch_order"), allowMissingColumns=True
+        )
+        batch = batch.filter(F.col("fetch_order") <= batch_size)
+    fetch_batch = batch.select(
+        *FRONTIER_COLS, "fetch_order"
+    ).withColumn("state", F.lit("FETCHING"))
+
+    # 5. fetch emulation: html lookup in the pages corpus (left join —
+    #    dead links surface as null html), then ONE Arrow crossing for
+    #    extract. Scheduling columns only until here; html enters now.
+    page_side = pages.select("url", "warc_ts", "html", "lang")
+    joined = fetch_batch.drop("state", "wave").join(page_side, on="url", how="left")
+    fetched = joined.mapInPandas(_fetch_extract, schema=_FETCH_OUT_SCHEMA)
+
+    # 6. BFS expansion: explode outlinks → canon → depth+1 (A6)
+    links = (
+        fetched.select(
+            F.col("depth").alias("_src_depth"),
+            F.explode_outer("outlinks").alias("url"),
+        )
+        .filter(F.col("url").isNotNull())
+    )
+    new_cand = canonicalized(links).withColumn(
+        "depth", (F.col("_src_depth") + 1).cast("int")
+    ).drop("_src_depth")
+    new_cand = new_cand.withColumn(
+        "priority", priority_col(1.0, F.col("depth"), 0.0)
+    ).withColumn("state", F.lit("QUEUED")).withColumn(
+        "wave", F.lit(wave + 1)
+    ).select(*FRONTIER_COLS)
+    new_cand = dedupe_within(new_cand)
+
+    # 7. next state: seen' = seen ∪ scheduled; frontier' = deferred ∪ new
+    scheduled_urls = fetch_batch.select("url", "url_hash")
+    seen_next = seen.select("url", "url_hash").unionByName(scheduled_urls).distinct()
+
+    carry = deferred.select(*FRONTIER_COLS).withColumn(
+        "state", F.lit("QUEUED")
+    ).withColumn("wave", F.lit(wave + 1))
+    new_novel = anti_join_seen(
+        anti_join_seen(new_cand, seen_next), carry
+    )
+    frontier_next = carry.unionByName(new_novel)
+    frontier_next = dedupe_within(frontier_next)
+
+    # 8. lineage counters (BASELINE.json:L6 fetched/deduped/deferred)
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("registered_domain").agg(F.count("*").alias(name))
+
+    lineage = (
+        _cnt(cand, "candidates")
+        .join(_cnt(cand.join(seen.select("url_hash").distinct(), "url_hash",
+                             "left_semi"), "deduped"), "registered_domain", "full")
+        .join(_cnt(blocked, "blocked"), "registered_domain", "full")
+        .join(_cnt(deferred, "deferred"), "registered_domain", "full")
+        .join(_cnt(fetch_batch, "fetched"), "registered_domain", "full")
+        .fillna(0)
+        .withColumn("wave", F.lit(wave))
+    )
+
+    return WaveResult(
+        wave=wave,
+        fetch_batch=fetch_batch,
+        fetched=fetched,
+        frontier_next=frontier_next,
+        seen_next=seen_next,
+        lineage=lineage,
+    )
