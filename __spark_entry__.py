@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The registry lives in ``tweetf0rm_spark.queries*`` (one entry per
+SURVEY.md §2.B operator row); this module only adapts it to the
+driver's shape.
 """
 
 from __future__ import annotations
@@ -15,24 +18,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full scheduling wave (canonicalize → dedupe →
+    robots → politeness → priority order) on the sf0.001 derived
+    frontier. Driver checks rows > 0."""
+    from tweetf0rm_spark.queries_crawl import CRAWL
+
+    return CRAWL["crawl_wave_schedule"].spark(spark, "/root/testdata/sf0.001")
+
+
+def _registry():
+    from tweetf0rm_spark.queries import REL
+    from tweetf0rm_spark.queries_crawl import CRAWL
+    from tweetf0rm_spark.queries_text import TEXT
+
+    merged = {}
+    for reg in (REL, CRAWL, TEXT):
+        merged.update(reg)
+    return merged
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.spark for name, q in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: q.oracle for name, q in _registry().items() if q.oracle is not None
+    }

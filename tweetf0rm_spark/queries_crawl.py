@@ -1,0 +1,458 @@
+"""Crawl-shaped oracle queries (SURVEY.md §2.B crawl rows; FIXTURES.md §F).
+
+The DuckDB oracle can't run the engine, so crawl operators are checked
+on a **derived frontier view** built deterministically from the driver's
+``events`` table (FIXTURES.md §F):
+
+    url               = 'https://host<user_id%50>.example/e/<event_id>'
+    registered_domain = 'host<user_id%50>.example'
+    depth             = event_id % 8
+    host_credit       = (user_id % 100) / 100.0
+    priority          = host_credit + exp(-depth) + 0.1 * ln(1 + value)
+
+Spark side composes the real engine operators (canon_url_col,
+robots_verdict, anti-join dedupe, politeness window); the oracle
+restates them in ANSI SQL. The one intentional divergence: oracle
+queries tie-break rankings on ``url`` (DuckDB has no xxhash64) — the
+engine's url_hash tie-break is pinned by the golden-trace pytest
+instead.
+
+Streaming-surface queries (tumbling/sliding/session windows) run here
+in batch form — identical semantics to the Structured Streaming wave
+driver (tweetf0rm_spark/streaming), which pytest exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .canon import canon_url_col
+from .operators.dedupe import anti_join_seen
+from .operators.robots import robots_verdict
+from .queries import Q, dsum, t
+
+CRAWL: dict[str, Q] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        CRAWL[name] = Q(fn, oracle)
+        return fn
+    return deco
+
+
+# Shared SQL CTE for the derived frontier (keep in lockstep with
+# frontier_view below).
+FRONTIER_CTE = """
+frontier AS (
+  SELECT 'https://host' || CAST(user_id % 50 AS VARCHAR) || '.example/e/'
+           || CAST(event_id AS VARCHAR) AS url,
+         'host' || CAST(user_id % 50 AS VARCHAR) || '.example' AS host,
+         'host' || CAST(user_id % 50 AS VARCHAR) || '.example' AS registered_domain,
+         '/e/' || CAST(event_id AS VARCHAR) AS path,
+         CAST(event_id % 8 AS INTEGER) AS depth,
+         (user_id % 100) / 100.0
+           + exp(-CAST(event_id % 8 AS INTEGER))
+           + 0.1 * ln(1.0 + value) AS priority,
+         event_id, user_id, value
+  FROM events)
+"""
+
+
+def frontier_view(spark, sf):
+    """Derived frontier DataFrame — numerically identical expression
+    tree to FRONTIER_CTE (exp/ln covered by 6-dp output rounding)."""
+    e = t(spark, sf, "events")
+    dom_num = F.pmod(F.col("user_id"), F.lit(50)).cast("string")
+    host = F.concat(F.lit("host"), dom_num, F.lit(".example"))
+    depth = F.pmod(F.col("event_id"), F.lit(8)).cast("int")
+    prio = (
+        F.pmod(F.col("user_id"), F.lit(100)) / 100.0
+        + F.exp(-depth.cast("double"))
+        + 0.1 * F.log(F.lit(1.0) + F.col("value"))
+    )
+    return e.select(
+        F.concat(F.lit("https://"), host, F.lit("/e/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        host.alias("host"),
+        host.alias("registered_domain"),
+        F.concat(F.lit("/e/"), F.col("event_id").cast("string")).alias("path"),
+        depth.alias("depth"),
+        prio.alias("priority"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+
+
+# Inline robots rules used by the robots/wave queries: even-numbered
+# domains disallow the '/e/1' prefix (rule 0), everyone allows '/'.
+ROBOTS_SQL = """
+robots AS (
+  SELECT 'host' || CAST(d AS VARCHAR) || '.example' AS host,
+         0 AS rule_order, false AS allow, '/e/1' AS path_prefix,
+         0.0 AS crawl_delay, '*' AS agent
+  FROM (SELECT unnest(range(0, 50, 2)) AS d)
+  UNION ALL
+  SELECT 'host' || CAST(d AS VARCHAR) || '.example', 1, true, '/', 0.0, '*'
+  FROM (SELECT unnest(range(0, 50)) AS d))
+"""
+
+
+def robots_df(spark):
+    rows = []
+    for d in range(0, 50, 2):
+        rows.append((f"host{d}.example", 0, False, "/e/1", 0.0, "*"))
+    for d in range(50):
+        rows.append((f"host{d}.example", 1, True, "/", 0.0, "*"))
+    return spark.createDataFrame(
+        rows,
+        "host string, rule_order int, allow boolean, path_prefix string, "
+        "crawl_delay double, agent string",
+    )
+
+
+# --------------------------------------------------------------- canon
+
+@q(
+    "crawl_canonicalize",
+    """SELECT event_id,
+              'https://host' || CAST(user_id % 50 AS VARCHAR)
+                || '.example/e/' || CAST(event_id AS VARCHAR)
+                || '?a=1&b=2' AS url_canon
+       FROM events""",
+)
+def crawl_canonicalize(spark, sf):
+    """Oracle-validates canon_url_col against an independent SQL
+    construction: the raw side has uppercase scheme/host, a default
+    port, duplicate slashes, a trailing slash, unsorted query keys, a
+    tracker param, and a fragment."""
+    e = t(spark, sf, "events")
+    raw = F.concat(
+        F.lit("HTTPS://HOST"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".Example:443/e//"),
+        F.col("event_id").cast("string"),
+        F.lit("/?b=2&a=1&utm_source=x#frag"),
+    )
+    return e.select(
+        "event_id", canon_url_col(raw).alias("url_canon")
+    )
+
+
+@q(
+    "crawl_url_parts",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT url, host, registered_domain, path,
+              md5(url) AS url_md5
+       FROM frontier""",
+)
+def crawl_url_parts(spark, sf):
+    fv = frontier_view(spark, sf)
+    return fv.select(
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.concat_ws(
+            ".", F.slice(F.split(F.parse_url("url", F.lit("HOST")), "\\."), -2, 2)
+        ).alias("registered_domain"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.md5("url").alias("url_md5"),
+    )
+
+
+# -------------------------------------------------------------- dedupe
+
+@q(
+    "crawl_url_dedupe",
+    """WITH coarse AS (
+         SELECT 'host' || CAST(user_id % 50 AS VARCHAR) || '.example'
+                  AS registered_domain,
+                'https://host' || CAST(user_id % 50 AS VARCHAR)
+                  || '.example/p/' || CAST(event_id % 500 AS VARCHAR) AS url
+         FROM events)
+       SELECT registered_domain,
+              count(DISTINCT url) AS n_unique,
+              count(*) AS n_raw
+       FROM coarse GROUP BY registered_domain""",
+)
+def crawl_url_dedupe(spark, sf):
+    e = t(spark, sf, "events")
+    dom = F.concat(
+        F.lit("host"), F.pmod("user_id", F.lit(50)).cast("string"), F.lit(".example")
+    )
+    url = F.concat(
+        F.lit("https://"), dom, F.lit("/p/"),
+        F.pmod("event_id", F.lit(500)).cast("string"),
+    )
+    return (
+        e.select(dom.alias("registered_domain"), url.alias("url"))
+        .groupBy("registered_domain")
+        .agg(
+            F.countDistinct("url").alias("n_unique"),
+            F.count("*").alias("n_raw"),
+        )
+    )
+
+
+@q(
+    "crawl_seen_anti_join",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       seen AS (SELECT url FROM frontier WHERE event_id % 10 = 0)
+       SELECT f.registered_domain, count(*) AS n_novel
+       FROM frontier f
+       WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)
+       GROUP BY f.registered_domain""",
+)
+def crawl_seen_anti_join(spark, sf):
+    fv = frontier_view(spark, sf)
+    seen = fv.filter(F.col("event_id") % 10 == 0).select("url")
+    novel = anti_join_seen(fv, seen, key="url")
+    return novel.groupBy("registered_domain").agg(F.count("*").alias("n_novel"))
+
+
+# -------------------------------------------------------------- robots
+
+@q(
+    "crawl_robots_filter",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       {ROBOTS_SQL.strip().lstrip()},
+       verdict AS (
+         SELECT f.url, f.registered_domain,
+                coalesce(arg_min(r.allow, r.rule_order), true) AS robots_allowed
+         FROM frontier f
+         LEFT JOIN robots r
+           ON r.host = f.host AND starts_with(f.path, r.path_prefix)
+         GROUP BY f.url, f.registered_domain)
+       SELECT registered_domain,
+              count(*) FILTER (robots_allowed) AS n_allowed,
+              count(*) FILTER (NOT robots_allowed) AS n_blocked
+       FROM verdict GROUP BY registered_domain""",
+)
+def crawl_robots_filter(spark, sf):
+    fv = frontier_view(spark, sf)
+    ruled = robots_verdict(fv, robots_df(spark))
+    return ruled.groupBy("registered_domain").agg(
+        F.count_if(F.col("robots_allowed")).alias("n_allowed"),
+        F.count_if(~F.col("robots_allowed")).alias("n_blocked"),
+    )
+
+
+# ---------------------------------------------------- politeness / order
+
+@q(
+    "crawl_politeness_topk",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       ranked AS (
+         SELECT registered_domain, url, depth, priority,
+                row_number() OVER (PARTITION BY registered_domain
+                                   ORDER BY priority DESC, url) AS host_rank
+         FROM frontier)
+       SELECT registered_domain, url, host_rank, round(priority, 6) AS prio
+       FROM ranked
+       WHERE host_rank <= 1 + (CAST(substr(registered_domain, 5,
+                 length(registered_domain) - 12) AS INTEGER) % 4)""",
+)
+def crawl_politeness_topk(spark, sf):
+    fv = frontier_view(spark, sf)
+    w = W.partitionBy("registered_domain").orderBy(F.desc("priority"), F.asc("url"))
+    dom_num = F.substring(
+        F.col("registered_domain"),
+        5,
+        F.length("registered_domain") - 12,
+    ).cast("int")
+    return (
+        fv.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 1 + F.pmod(dom_num, F.lit(4)))
+        .select(
+            "registered_domain", "url", "host_rank",
+            F.round("priority", 6).alias("prio"),
+        )
+    )
+
+
+@q(
+    "crawl_bfs_order",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT event_id, url, depth,
+              row_number() OVER (ORDER BY depth, priority DESC, url) AS bfs_rank
+       FROM frontier
+       ORDER BY bfs_rank LIMIT 200""",
+)
+def crawl_bfs_order(spark, sf):
+    fv = frontier_view(spark, sf)
+    w = W.orderBy(F.asc("depth"), F.desc("priority"), F.asc("url"))
+    return (
+        fv.withColumn("bfs_rank", F.row_number().over(w))
+        .filter(F.col("bfs_rank") <= 200)
+        .select("event_id", "url", "depth", "bfs_rank")
+    )
+
+
+@q(
+    "crawl_wave_schedule",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       {ROBOTS_SQL.strip().lstrip()},
+       seen AS (SELECT url FROM frontier WHERE event_id % 10 = 0),
+       novel AS (SELECT * FROM frontier f
+                 WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = f.url)),
+       verdict AS (
+         SELECT n.*, coalesce(arg_min(r.allow, r.rule_order), true) AS ok
+         FROM novel n
+         LEFT JOIN robots r
+           ON r.host = n.host AND starts_with(n.path, r.path_prefix)
+         GROUP BY ALL),
+       polite AS (
+         SELECT *, row_number() OVER (PARTITION BY registered_domain
+                                      ORDER BY priority DESC, url) AS host_rank
+         FROM verdict WHERE ok),
+       batch AS (SELECT * FROM polite WHERE host_rank <= 8)
+       SELECT row_number() OVER (ORDER BY priority DESC, depth, url) AS fetch_order,
+              url, registered_domain, depth, round(priority, 6) AS prio
+       FROM batch
+       ORDER BY fetch_order LIMIT 200""",
+)
+def crawl_wave_schedule(spark, sf):
+    """The flagship M1 slice (SURVEY.md §7): dedupe → robots →
+    politeness → global priority order → fetch batch, composed from
+    the real engine operators."""
+    fv = frontier_view(spark, sf)
+    seen = fv.filter(F.col("event_id") % 10 == 0).select("url")
+    novel = anti_join_seen(fv, seen, key="url")
+    ruled = robots_verdict(novel, robots_df(spark))
+    allowed = ruled.filter(F.col("robots_allowed"))
+    wp = W.partitionBy("registered_domain").orderBy(F.desc("priority"), F.asc("url"))
+    batch = allowed.withColumn("host_rank", F.row_number().over(wp)).filter(
+        F.col("host_rank") <= 8
+    )
+    wg = W.orderBy(F.desc("priority"), F.asc("depth"), F.asc("url"))
+    return (
+        batch.withColumn("fetch_order", F.row_number().over(wg))
+        .filter(F.col("fetch_order") <= 200)
+        .select(
+            "fetch_order", "url", "registered_domain", "depth",
+            F.round("priority", 6).alias("prio"),
+        )
+    )
+
+
+@q(
+    "crawl_lineage_rollup",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT registered_domain, depth, count(*) AS n,
+              count(DISTINCT user_id) AS n_users
+       FROM frontier
+       GROUP BY ROLLUP (registered_domain, depth)""",
+)
+def crawl_lineage_rollup(spark, sf):
+    fv = frontier_view(spark, sf)
+    return fv.rollup("registered_domain", "depth").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@q(
+    "crawl_recrawl_age",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       last AS (SELECT registered_domain,
+                       max(e.ts) AS last_ts
+                FROM frontier f JOIN events e USING (event_id)
+                GROUP BY registered_domain)
+       SELECT registered_domain,
+              CAST(floor(epoch(last_ts)) AS BIGINT) AS last_epoch,
+              CAST(date_diff('day', last_ts, TIMESTAMP '2024-03-01') AS BIGINT)
+                AS age_days
+       FROM last""",
+)
+def crawl_recrawl_age(spark, sf):
+    fv = frontier_view(spark, sf)
+    e = t(spark, sf, "events").select("event_id", "ts")
+    last = (
+        fv.join(e, "event_id")
+        .groupBy("registered_domain")
+        .agg(F.max("ts").alias("last_ts"))
+    )
+    return last.select(
+        "registered_domain",
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+        F.datediff(F.to_date(F.lit("2024-03-01")), F.col("last_ts"))
+        .cast("long")
+        .alias("age_days"),
+    )
+
+
+# ------------------------------------------------- streaming-shaped aggs
+
+@q(
+    "stream_tumbling_window",
+    """SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT)
+                AS window_start,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling_window(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+@q(
+    "stream_sliding_window",
+    """WITH s AS (
+         SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, * FROM events
+         UNION ALL
+         SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes',
+                * FROM events)
+       SELECT CAST(epoch(ws) AS BIGINT) AS window_start,
+              count(*) AS n
+       FROM s GROUP BY 1""",
+)
+def stream_sliding_window(spark, sf):
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"), "n"
+        )
+    )
+
+
+@q(
+    "stream_sessionization",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events)
+       SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+       FROM g GROUP BY user_id""",
+)
+def stream_sessionization(spark, sf):
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    g = e.select(
+        "user_id",
+        F.when(
+            (ep - F.lag(ep).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,515 @@
+"""Training-data-pipeline operators over ``documents``/``embeddings``
+(the driver's first-class extension set: dedup family, similarity
+search, text analysis) — each oracle-checked against DuckDB.
+
+Cross-engine determinism notes:
+- all text here is ASCII (synthetic corpus), so ``lower`` / regex
+  behave identically in Java regex and RE2;
+- minhash uses ``min(md5(salt || token))`` over *string* order — md5
+  hex compares identically everywhere, sidestepping the lack of a
+  shared 64-bit integer hash between Spark and DuckDB;
+- simhash bits come from md5 hex-digit parity (integer arithmetic,
+  exact);
+- cosine similarity: float32 → double casts are exact, products/sums
+  run in the same left-to-right order, sqrt is IEEE-correctly-rounded;
+  outputs rounded to 6 dp to absorb any engine-divergent ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .queries import Q, t
+
+TEXT: dict[str, Q] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        TEXT[name] = Q(fn, oracle)
+        return fn
+    return deco
+
+
+# ------------------------------------------------------------- text stats
+
+@q(
+    "text_token_count",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_distinct,
+              length(text) AS n_chars
+       FROM documents""",
+)
+def text_token_count(spark, sf):
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@q(
+    "text_stats_by_lang",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def text_stats_by_lang(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(lower(text)) AS fp_exact,
+              md5(array_to_string(list_sort(list_distinct(
+                    string_split(lower(text), ' '))), ' ')) AS fp_tokenset
+       FROM documents""",
+)
+def text_fingerprint(spark, sf):
+    d = t(spark, sf, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fp_exact"),
+        F.md5(F.array_join(F.sort_array(toks), " ")).alias("fp_tokenset"),
+    )
+
+
+@q(
+    "text_langid_heuristic",
+    """SELECT doc_id,
+              len(list_intersect(string_split(lower(text), ' '),
+                  ['the', 'a', 'of', 'and', 'to'])) AS en_hits,
+              len(list_intersect(string_split(lower(text), ' '),
+                  ['el', 'la', 'de', 'los', 'y'])) AS es_hits,
+              CASE WHEN len(list_intersect(string_split(lower(text), ' '),
+                       ['the', 'a', 'of', 'and', 'to']))
+                     >= len(list_intersect(string_split(lower(text), ' '),
+                       ['el', 'la', 'de', 'los', 'y']))
+                    AND len(list_intersect(string_split(lower(text), ' '),
+                       ['the', 'a', 'of', 'and', 'to'])) > 0
+                   THEN 'en'
+                   WHEN len(list_intersect(string_split(lower(text), ' '),
+                       ['el', 'la', 'de', 'los', 'y'])) > 0
+                   THEN 'es'
+                   ELSE 'und' END AS pred_lang
+       FROM documents""",
+)
+def text_langid_heuristic(spark, sf):
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in
+        ["the", "a", "of", "and", "to"]])))
+    es = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in
+        ["el", "la", "de", "los", "y"]])))
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        F.when((en >= es) & (en > 0), "en")
+        .when(es > 0, "es")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+
+
+@q(
+    "text_quality_score",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              round(len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')), 6) AS diversity,
+              round(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                           / len(string_split(text, ' ')))
+                  + 0.5 * least(1.0, len(string_split(text, ' ')) / 100.0), 6)
+                AS quality
+       FROM documents""",
+)
+def text_quality_score(spark, sf):
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) * F.lit(1.0) / nt
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(
+            0.5 * diversity + 0.5 * F.least(F.lit(1.0), nt / F.lit(100.0)), 6
+        ).alias("quality"),
+    )
+
+
+# ------------------------------------------------------------ dedup family
+
+@q(
+    "dedup_exact_groups",
+    """WITH fp AS (
+         SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                      string_split(lower(text), ' '))), ' ')) AS fp_tokenset
+         FROM documents)
+       SELECT fp_tokenset, count(*) AS n_docs, min(doc_id) AS keeper
+       FROM fp GROUP BY fp_tokenset HAVING count(*) > 1""",
+)
+def dedup_exact_groups(spark, sf):
+    d = t(spark, sf, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.lower(F.col("text")), " "))),
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", fp.alias("fp_tokenset"))
+        .groupBy("fp_tokenset")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_MINHASH_K = 8
+
+
+def _minhash_sql() -> str:
+    mins = ",\n                ".join(
+        f"min(md5('k{i}:' || w)) AS m{i}" for i in range(_MINHASH_K)
+    )
+    return f"""WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+         FROM documents),
+       mh AS (SELECT doc_id, {mins}
+              FROM tok GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 1 AS band_no, m0 || m1 || m2 || m3 AS sig FROM mh
+         UNION ALL
+         SELECT doc_id, 2 AS band_no, m4 || m5 || m6 || m7 AS sig FROM mh)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band_no = b.band_no AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+
+@q("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf):
+    """MinHash (k=8, string-min over salted md5) + LSH banding (2 bands
+    of 4): candidate near-dup pairs = docs sharing any band signature.
+    Shuffle profile at scale: one explode + one groupBy(doc_id) agg +
+    one equi-join on (band_no, sig) — no O(n²) comparison."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("w"),
+    )
+    mh = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"k{i}:"), F.col("w")))).alias(f"m{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    b1 = mh.select(
+        "doc_id",
+        F.lit(1).alias("band_no"),
+        F.concat("m0", "m1", "m2", "m3").alias("sig"),
+    )
+    b2 = mh.select(
+        "doc_id",
+        F.lit(2).alias("band_no"),
+        F.concat("m4", "m5", "m6", "m7").alias("sig"),
+    )
+    bands = b1.unionByName(b2)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+         SELECT doc_id, lang,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' '))),
+                  i -> string_split(lower(text), ' ')[i] || ' '
+                       || string_split(lower(text), ' ')[i + 1])) AS shingles
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6""",
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Word-bigram shingle Jaccard near-dup pairs, blocked by lang
+    (the blocking key stands in for the LSH pre-filter at scale)."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = F.round(
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        * F.lit(1.0)
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    sums = ",\n                ".join(
+        f"sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(w), {b + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       s AS (SELECT doc_id, {sums}
+             FROM tok GROUP BY doc_id)
+       SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s"""
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf):
+    """16-bit SimHash per document: per-bit majority vote over token
+    hashes (bit source: md5 hex-digit parity — integer-exact on both
+    engines). One explode + one groupBy; O(n) not O(n²)."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    h = tok.withColumn("hw", F.md5("w"))
+    sums = [
+        F.sum(
+            F.when(
+                (F.instr(F.lit("0123456789abcdef"), F.substring("hw", b + 1, 1)) - 1)
+                % 2
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    s = h.groupBy("doc_id").agg(*sums)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return s.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------- embeddings / ANN
+
+_NORM_CTE = """
+n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+"""
+
+
+def _emb_norm(spark, sf):
+    e = t(spark, sf, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(dvec, dvec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "label", dvec.alias("v"), F.sqrt(dot_self).alias("nrm")
+    )
+
+
+def _cosine(a_v, b_v, a_n, b_n):
+    dot = F.aggregate(
+        F.zip_with(a_v, b_v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (a_n * b_n)
+
+
+@q(
+    "emb_norms",
+    f"""WITH {_NORM_CTE.strip()}
+       SELECT vec_id, label, round(nrm, 6) AS l2_norm FROM n""",
+)
+def emb_norms(spark, sf):
+    return _emb_norm(spark, sf).select(
+        "vec_id", "label", F.round("nrm", 6).alias("l2_norm")
+    )
+
+
+@q(
+    "emb_label_stats",
+    f"""WITH {_NORM_CTE.strip()}
+       SELECT label, count(*) AS n,
+              CAST(sum(CAST(round(nrm, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                AS sum_norm
+       FROM n GROUP BY label""",
+)
+def emb_label_stats(spark, sf):
+    n = _emb_norm(spark, sf)
+    return n.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("nrm", 6).cast("decimal(28,6)")).cast("double").alias(
+            "sum_norm"
+        ),
+    )
+
+
+@q(
+    "ann_brute_force_topk",
+    f"""WITH {_NORM_CTE.strip()},
+       qv AS (SELECT * FROM n WHERE vec_id < 5),
+       p AS (SELECT qv.vec_id AS q_vec, c.vec_id AS neighbor,
+                    round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 6)
+                      AS cos_sim
+             FROM qv JOIN n c ON c.vec_id != qv.vec_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
+                       ORDER BY cos_sim DESC, neighbor) AS rnk FROM p)
+       SELECT q_vec, neighbor, rnk, cos_sim FROM r WHERE rnk <= 10""",
+)
+def ann_brute_force_topk(spark, sf):
+    """Exact cosine top-k — the ANN baseline. At cluster scale the
+    query side is broadcast (small) and candidates stream map-side;
+    per-group top-k avoids a global sort."""
+    n = _emb_norm(spark, sf)
+    qv = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    p = F.broadcast(qv).join(n, F.col("vec_id") != F.col("q_vec"))
+    cos = F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6)
+    w = W.partitionBy("q_vec").orderBy(F.desc("cos_sim"), F.asc("neighbor"))
+    return (
+        p.select("q_vec", F.col("vec_id").alias("neighbor"), cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("q_vec", "neighbor", "rnk", "cos_sim")
+    )
+
+
+_BUCKET_SQL = "".join(
+    f"(CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END) || " for i in range(1, 6)
+) + "(CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END)"
+
+
+@q(
+    "ann_lsh_bucketed",
+    f"""WITH {_NORM_CTE.strip()},
+       bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
+       qv AS (SELECT * FROM bkt WHERE vec_id < 20),
+       p AS (SELECT qv.vec_id AS q_vec, c.vec_id AS neighbor,
+                    round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 6)
+                      AS cos_sim
+             FROM qv JOIN bkt c
+               ON c.bucket = qv.bucket AND c.vec_id != qv.vec_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
+                       ORDER BY cos_sim DESC, neighbor) AS rnk FROM p)
+       SELECT q_vec, neighbor, rnk, cos_sim FROM r WHERE rnk <= 5""",
+)
+def ann_lsh_bucketed(spark, sf):
+    """Sign-LSH bucketed ANN (the scale path): 6-bit sign bucket over
+    the leading dimensions → candidates share a bucket → equi-join
+    instead of cross-join. Recall tradeoff is the point; the oracle
+    reproduces the same bucketing so results match exactly."""
+    n = _emb_norm(spark, sf)
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("v", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ]
+    )
+    bkt = n.withColumn("bucket", bucket)
+    qv = bkt.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    p = F.broadcast(qv).join(
+        bkt, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_vec"))
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6)
+    w = W.partitionBy("q_vec").orderBy(F.desc("cos_sim"), F.asc("neighbor"))
+    return (
+        p.select("q_vec", F.col("vec_id").alias("neighbor"), cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_vec", "neighbor", "rnk", "cos_sim")
+    )
+
+
+@q(
+    "dedup_embedding_neardup",
+    f"""WITH {_NORM_CTE.strip()},
+       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                      AS cos_sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
+)
+def dedup_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (threshold chosen to fire
+    on the synthetic corpus; production would LSH-block first)."""
+    n = _emb_norm(spark, sf)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
