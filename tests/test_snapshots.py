@@ -1,0 +1,99 @@
+"""SnapshotStore semantics + crawl resume-equivalence (SURVEY.md §5.2.4)."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetf0rm_spark.crawl import Crawl, CrawlConfig
+from tweetf0rm_spark.sources.snapshots import ParquetSnapshotStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return ParquetSnapshotStore(str(tmp_path / "wh"))
+
+
+def test_commit_read_time_travel(spark, store):
+    df0 = spark.range(0, 5).select(F.col("id"))
+    df1 = spark.range(0, 9).select(F.col("id"))
+    store.commit(0, {"t": df0}, meta={"wave": 0})
+    store.commit(1, {"t": df1}, meta={"wave": 1})
+    assert store.current() == 1
+    assert store.read(spark, "t").count() == 9          # current
+    assert store.read(spark, "t", 0).count() == 5       # time travel
+    assert store.meta(1)["wave"] == 1
+    assert store.meta(1)["parent"] == 0
+
+
+def test_commit_is_monotonic(spark, store):
+    store.commit(0, {"t": spark.range(1)})
+    with pytest.raises(ValueError):
+        store.commit(0, {"t": spark.range(2)})
+
+
+def test_unpointed_data_is_invisible(spark, store):
+    """Crash emulation: a snap dir exists but the manifest was never
+    swapped — reads of 'current' must not see it."""
+    store.commit(0, {"t": spark.range(3)})
+    # write orphan data for snap 1 without touching the manifest
+    spark.range(99).write.parquet(os.path.join(store.root, "t", "snap=1"))
+    assert store.current() == 0
+    assert store.read(spark, "t").count() == 3
+    # and a later real commit overwrites the orphan cleanly
+    store.commit(1, {"t": spark.range(7)})
+    assert store.read(spark, "t", 1).count() == 7
+
+
+def test_missing_table_raises(spark, store):
+    store.commit(0, {"t": spark.range(1)})
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, "nope")
+
+
+def _mini_crawl(spark, corpus_dfs, root, waves):
+    cr = Crawl(
+        spark, root,
+        corpus_dfs["pages"], corpus_dfs["robots_rules"],
+        corpus_dfs["politeness_budget"], CrawlConfig(batch_size=100),
+    )
+    cr.init(corpus_dfs["seeds"])
+    cr.run(max_waves=waves)
+    return cr
+
+
+def test_resume_equivalence(spark, corpus_dfs):
+    """Kill-after-wave-k + resume() must equal the uninterrupted run:
+    frontier, seen set and fetch order all exceptAll-empty both ways."""
+    root_a = tempfile.mkdtemp(prefix="crawl_a_")
+    cr_a = _mini_crawl(spark, corpus_dfs, root_a, waves=3)
+
+    # copy the store, roll back to snapshot 2 (≙ killed during wave 2)
+    root_b = tempfile.mkdtemp(prefix="crawl_b_")
+    shutil.rmtree(root_b)
+    shutil.copytree(root_a, root_b)
+    mp = os.path.join(root_b, "_manifest.json")
+    m = json.load(open(mp))
+    m["current"] = 2
+    m["snapshots"] = {k: v for k, v in m["snapshots"].items() if int(k) <= 2}
+    json.dump(m, open(mp, "w"))
+
+    cr_b = Crawl(
+        spark, root_b,
+        corpus_dfs["pages"], corpus_dfs["robots_rules"],
+        corpus_dfs["politeness_budget"], CrawlConfig(batch_size=100),
+    )
+    cr_b.resume()
+
+    for table in ("frontier", "seen"):
+        a = cr_a.store.read(spark, table, 3)
+        b = cr_b.store.read(spark, table, 3)
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+    assert cr_a.fetch_trace(3) == cr_b.fetch_trace(3)
+
+    shutil.rmtree(root_a)
+    shutil.rmtree(root_b)

@@ -1,0 +1,158 @@
+"""Crawl driver: init → wave⁺ → resume over a SnapshotStore
+(SURVEY.md §3.2 entry points; the engine's ``bootstrap.py``).
+
+Reference lifecycle being replaced (``[U] bootstrap.py`` →
+``[U] tweetf0rm/redis_helper.py`` → crawler processes): start node,
+register with redis NodeCoordinator, BRPOP commands forever. Here:
+
+- :meth:`Crawl.init` — snapshot 0 = canonicalized seed frontier,
+  empty seen-set (+ empty filter blobs), empty lineage;
+- :meth:`Crawl.step` — read snapshot n, run one wave DataFrame job,
+  atomically commit snapshot n+1 (frontier′, seen′, blobs′, lineage,
+  pages_delta, ordered fetch log);
+- :meth:`Crawl.resume` — nothing special: ``step`` always starts from
+  the latest *complete* snapshot, so a killed wave re-runs identically
+  (resume-equivalence is pytest-pinned).
+
+Each committed table is also the materialization barrier — the next
+wave reads parquet, so the lazy wave DAG is computed exactly once per
+wave (and snapshot reads give AQE accurate sizes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.politeness import DEFAULT_BUDGET, N_SALTS
+from .operators.seenset import DEFAULT_P, build_seen_blobs
+from .sources.snapshots import ParquetSnapshotStore, SnapshotStore
+from .wave import empty_seen, init_frontier, run_wave
+
+FETCH_LOG_COLS = ["fetch_order", "url", "url_hash", "registered_domain", "depth"]
+
+
+@dataclass
+class CrawlConfig:
+    batch_size: int | None = None
+    n_salts: int = N_SALTS
+    default_budget: int = DEFAULT_BUDGET
+    p: int = DEFAULT_P          # seen-set hash partitions (fixed at init)
+    use_filters: bool = True    # bloom pre-check in front of anti-join
+
+
+class Crawl:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore | str,
+        pages: DataFrame,
+        robots_rules: DataFrame,
+        politeness_budget: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = (
+            ParquetSnapshotStore(store) if isinstance(store, str) else store
+        )
+        self.pages = pages
+        self.robots = robots_rules
+        self.budget = politeness_budget
+        self.cfg = config or CrawlConfig()
+
+    # ------------------------------------------------------------- init
+    def init(self, seeds: DataFrame) -> int:
+        frontier = init_frontier(self.spark, seeds)
+        seen = empty_seen(self.spark)
+        blobs = build_seen_blobs(seen, p=self.cfg.p, wave=0)
+        lineage = self.spark.createDataFrame(
+            [],
+            "registered_domain string, candidates long, deduped long, "
+            "blocked long, deferred long, fetched long, wave int",
+        )
+        self.store.commit(
+            0,
+            {"frontier": frontier, "seen": seen, "seen_blobs": blobs,
+             "lineage": lineage},
+            meta={"wave": 0, "p": self.cfg.p},
+        )
+        return 0
+
+    # ------------------------------------------------------------- step
+    def step(self) -> dict:
+        """Run the next wave from the latest complete snapshot."""
+        snap = self.store.current()
+        if snap < 0:
+            raise RuntimeError("crawl not initialized — call init(seeds)")
+        wave = snap
+        frontier = self.store.read(self.spark, "frontier", snap)
+        seen = self.store.read(self.spark, "seen", snap)
+        blobs = (
+            self.store.read(self.spark, "seen_blobs", snap)
+            if self.cfg.use_filters
+            else None
+        )
+        r = run_wave(
+            self.spark,
+            frontier,
+            seen,
+            self.pages,
+            self.robots,
+            self.budget,
+            wave=wave,
+            batch_size=self.cfg.batch_size,
+            n_salts=self.cfg.n_salts,
+            default_budget=self.cfg.default_budget,
+            seen_blobs=blobs,
+            p=self.cfg.p,
+            persist=True,
+        )
+        seen_next = r.seen_next
+        new_blobs = build_seen_blobs(seen_next, p=self.cfg.p, wave=wave + 1)
+        self.store.commit(
+            snap + 1,
+            {
+                "frontier": r.frontier_next,
+                "seen": seen_next,
+                "seen_blobs": new_blobs,
+                "lineage": r.lineage,
+                "fetch_log": r.fetch_batch.select(*FETCH_LOG_COLS),
+                "pages_delta": r.fetched.drop("outlinks"),
+            },
+            meta={"wave": wave + 1, "p": self.cfg.p},
+        )
+        n_fetched = self.store.read(self.spark, "fetch_log", snap + 1).count()
+        n_frontier = self.store.read(self.spark, "frontier", snap + 1).count()
+        self.spark.catalog.clearCache()
+        return {"wave": wave, "fetched": n_fetched, "frontier_next": n_frontier}
+
+    # -------------------------------------------------------------- run
+    def run(self, max_waves: int = 10) -> list[dict]:
+        """Crawl until the frontier drains or ``max_waves`` is hit."""
+        stats = []
+        for _ in range(max_waves):
+            s = self.step()
+            stats.append(s)
+            if s["fetched"] == 0:
+                break
+        return stats
+
+    # ----------------------------------------------------------- resume
+    def resume(self) -> dict:
+        """Continue after a kill: latest complete snapshot wins
+        (manifest pointer is swapped last — see snapshots.py)."""
+        return self.step()
+
+    # -------------------------------------------------------- inspection
+    def fetch_trace(self, snap: int | None = None) -> list[str]:
+        """Ordered fetched urls at a snapshot (golden-trace probe)."""
+        df = self.store.read(self.spark, "fetch_log", snap)
+        return [r.url for r in df.orderBy("fetch_order").collect()]
+
+    def seen_urls(self, snap: int | None = None) -> DataFrame:
+        return self.store.read(self.spark, "seen", snap).select("url")
+
+    def lineage(self, snap: int | None = None) -> DataFrame:
+        return self.store.read(self.spark, "lineage", snap)

@@ -1,0 +1,145 @@
+"""Partitioned probabilistic seen-set: build & probe as DataFrame ops
+(SURVEY.md §3.2 filter-build / filter-probe stages).
+
+Layout: the key space is sharded by ``partition_id = pmod(url_hash, P)``
+with ``P`` fixed at crawl init (recorded in the snapshot manifest;
+resharding is an explicit rebuild job — SURVEY.md §7 "what's hard").
+The ``seen_set`` blob table holds one bloom + one cuckoo blob per
+partition: ``(partition_id int, kind string, filter binary,
+n_keys long, wave int)``.
+
+Scale shape: both build and probe use ``cogroup().applyInPandas`` so
+each task sees ONE partition's candidate rows and that partition's
+blob — nothing is broadcast, nothing is collected to the driver, and
+the shuffle is the same hash-partitioning the anti-join needs anyway
+(exchange reuse). The dedupe contract stays exact: a bloom MISS is
+proof-of-novelty (no false negatives); only bloom HITS proceed to the
+exact anti-join, which resolves the false positives. The cuckoo filter
+is the approximate fast path (``exact=False``) for 10^10-frontier
+telemetry and for accepted-FPR dedupe, and supports deletes (recrawl
+invalidation).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..filters import BloomFilter, CuckooFilter
+from .dedupe import anti_join_seen
+
+DEFAULT_P = 16
+BLOB_SCHEMA = (
+    "partition_id int, kind string, filter binary, n_keys long, wave int"
+)
+
+
+def pid_col(key=None, p: int = DEFAULT_P):
+    if key is None:
+        key = F.col("url_hash")
+    return F.pmod(key, F.lit(p)).cast("int")
+
+
+def build_seen_blobs(
+    seen: DataFrame,
+    p: int = DEFAULT_P,
+    wave: int = 0,
+    capacity: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """seen(url_hash) → one bloom + one cuckoo blob per hash-partition."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy()
+        cap = capacity or max(64, 2 * len(keys))
+        pid = int(pdf["partition_id"].iloc[0]) if len(pdf) else -1
+        bloom = BloomFilter(cap, fpp)
+        bloom.add(keys)
+        cuckoo = CuckooFilter(cap)
+        cuckoo.add(keys)
+        return pd.DataFrame(
+            {
+                "partition_id": [pid, pid],
+                "kind": ["bloom", "cuckoo"],
+                "filter": [bloom.to_bytes(), cuckoo.to_bytes()],
+                "n_keys": [len(keys), len(keys)],
+                "wave": [wave, wave],
+            }
+        )
+
+    keyed = seen.select("url_hash").withColumn("partition_id", pid_col(p=p))
+    return keyed.groupBy("partition_id").applyInPandas(_build, BLOB_SCHEMA)
+
+
+def _probe_kernel(kind: str):
+    def probe(cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return cand.assign(maybe_seen=pd.Series([], dtype=bool))
+        row = blobs[blobs["kind"] == kind]
+        if len(row) == 0:  # no blob for this partition → nothing seen
+            return cand.assign(maybe_seen=False)
+        blob = row["filter"].iloc[0]
+        f = (
+            BloomFilter.from_bytes(bytes(blob))
+            if kind == "bloom"
+            else CuckooFilter.from_bytes(bytes(blob))
+        )
+        return cand.assign(maybe_seen=f.contains(cand["url_hash"].to_numpy()))
+
+    return probe
+
+
+def probe_seen_blobs(
+    candidates: DataFrame,
+    blobs: DataFrame,
+    p: int = DEFAULT_P,
+    kind: str = "bloom",
+) -> DataFrame:
+    """candidates + ``maybe_seen`` bool via co-partitioned blob probe."""
+    out_schema = ", ".join(
+        f"{f_.name} {f_.dataType.simpleString()}" for f_ in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+    keyed = candidates.withColumn("partition_id", pid_col(p=p))
+    probed = (
+        keyed.groupBy("partition_id")
+        .cogroup(blobs.groupBy("partition_id"))
+        .applyInPandas(
+            lambda c, b: _probe_kernel(kind)(
+                c.drop(columns=["partition_id"]), b
+            ),
+            out_schema,
+        )
+    )
+    return probed
+
+
+def dedupe_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blobs: DataFrame | None = None,
+    p: int = DEFAULT_P,
+    exact: bool = True,
+) -> DataFrame:
+    """The full A7 dedupe: bloom pre-check → exact anti-join confirm.
+
+    - ``blobs is None``: plain exact anti-join (M1 behavior).
+    - ``exact=True`` (default): bloom-miss rows pass through free of
+      charge; only bloom-hit rows (seen ∪ false positives) pay the
+      anti-join. Result is IDENTICAL to the exact anti-join — property
+      the tests pin.
+    - ``exact=False``: cuckoo verdict decides (documented FPR; for
+      at-scale modes where dropping ~fpp of novel URLs is acceptable).
+    """
+    if blobs is None:
+        return anti_join_seen(candidates, seen)
+    kind = "bloom" if exact else "cuckoo"
+    probed = probe_seen_blobs(candidates, blobs, p=p, kind=kind)
+    clear = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    if not exact:
+        return clear
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_novel = anti_join_seen(suspects, seen)
+    return clear.unionByName(confirmed_novel)

@@ -31,6 +31,7 @@ from .operators.dedupe import anti_join_seen, dedupe_within
 from .operators.politeness import DEFAULT_BUDGET, N_SALTS, apply_politeness
 from .operators.priority import priority_col
 from .operators.robots import robots_verdict
+from .operators.seenset import DEFAULT_P, dedupe_against_seen
 
 #: frontier schema (SURVEY.md §1.2)
 FRONTIER_COLS = [
@@ -110,14 +111,17 @@ def run_wave(
     batch_size: int | None = None,
     n_salts: int = N_SALTS,
     default_budget: int = DEFAULT_BUDGET,
+    seen_blobs: DataFrame | None = None,
+    p: int = DEFAULT_P,
+    persist: bool = False,
 ) -> WaveResult:
     """Run one scheduling+fetch wave. All outputs are lazy DataFrames."""
     cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"))
     cand = dedupe_within(cand.select(*FRONTIER_COLS))
 
-    # 1. dedupe vs seen-set (left anti hash join; bloom pre-check slots
-    #    in front of this in the filtered path — operators/dedupe.py)
-    novel = anti_join_seen(cand, seen)
+    # 1. dedupe vs seen-set: bloom pre-check (when blobs supplied) in
+    #    front of the exact anti-join — result identical either way
+    novel = dedupe_against_seen(cand, seen, blobs=seen_blobs, p=p, exact=True)
 
     # 2. robots (broadcast per-host rule cache, zero candidate shuffle)
     ruled = robots_verdict(novel, robots_rules)
@@ -130,6 +134,9 @@ def run_wave(
     polite = apply_politeness(
         allowed, politeness_budget, n_salts=n_salts, default_budget=default_budget
     )
+    if persist:
+        # feeds fetch batch, deferred carryover AND lineage — compute once
+        polite = polite.persist()
     in_budget = polite.filter(F.col("within_budget"))
     deferred = polite.filter(~F.col("within_budget"))
 
@@ -152,6 +159,9 @@ def run_wave(
     page_side = pages.select("url", "warc_ts", "html", "lang")
     joined = fetch_batch.drop("state", "wave").join(page_side, on="url", how="left")
     fetched = joined.mapInPandas(_fetch_extract, schema=_FETCH_OUT_SCHEMA)
+    if persist:
+        # feeds BFS expansion (frontier') AND pages_delta — one Arrow pass
+        fetched = fetched.persist()
 
     # 6. BFS expansion: explode outlinks → canon → depth+1 (A6)
     links = (
