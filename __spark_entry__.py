@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry():
     from tweetf0rm_spark.queries import REL
     from tweetf0rm_spark.queries_crawl import CRAWL
+    from tweetf0rm_spark.queries_media import MEDIA
     from tweetf0rm_spark.queries_text import TEXT
 
     merged = {}
-    for reg in (REL, CRAWL, TEXT):
+    for reg in (REL, CRAWL, TEXT, MEDIA):
         merged.update(reg)
     return merged
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "frontier": {...}}
+
+Two parts:
+
+1. **Headline oracle queries** — representative rows of SURVEY.md §2.B
+   (crawl wave, TPC-H-ish agg/join/window, dedupe, ANN) timed with a
+   ``noop``-sink write so the whole plan executes without collecting
+   rows to the driver.
+2. **North-metric frontier run** — ``gen_frontier_df`` (JVM-side
+   builtins, Zipf hot-domain skew) → full scheduling pipeline (exact
+   anti-join dedupe vs a synthetic seen-set → robots verdict → salted
+   politeness top-k) → URLs scheduled+deduped/sec. This is the number
+   BASELINE.json:L2 tracks; tools/scaling_run.py repeats it at
+   local[8] vs local[32] for the N→4N efficiency criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tweetf0rm_spark.datagen import gen_frontier_df  # noqa: E402
+from tweetf0rm_spark.operators.dedupe import anti_join_seen  # noqa: E402
+from tweetf0rm_spark.operators.politeness import apply_politeness  # noqa: E402
+from tweetf0rm_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "crawl_wave_schedule",
+    "crawl_seen_anti_join",
+    "crawl_politeness_topk",
+    "tpch_q1_pricing",
+    "join_inner_agg",
+    "window_topk_per_group",
+    "stream_sessionization",
+    "dedup_minhash_lsh",
+    "dedup_exact_groups",
+    "ann_brute_force_topk",
+    "text_quality_score",
+]
+
+FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", 5_000_000))
+
+
+def _run_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def frontier_bench(spark, n_rows: int) -> dict:
+    """One scheduling wave over a synthetic skewed frontier; returns
+    wall time + URLs/sec for the dedupe+schedule pipeline."""
+    frontier = gen_frontier_df(spark, n_rows)
+    # synthetic seen-set: ~20% of the key space, built from the same
+    # deterministic generator so the anti-join does real work
+    seen = (
+        gen_frontier_df(spark, n_rows // 5)
+        .select("url", "url_hash")
+    )
+    t0 = time.time()
+    novel = anti_join_seen(frontier, seen)
+    polite = apply_politeness(novel, None, default_budget=64)
+    batch = polite.filter(F.col("within_budget"))
+    _run_to_noop(batch.select("url", "url_hash", "registered_domain",
+                              "depth", "priority", "host_rank"))
+    wall = time.time() - t0
+    return {
+        "rows": n_rows,
+        "sec": round(wall, 3),
+        "urls_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    from __spark_entry__ import queries
+
+    reg = queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name]
+        t0 = time.time()
+        _run_to_noop(fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    fr = frontier_bench(spark, FRONTIER_ROWS)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+        "frontier": fr,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

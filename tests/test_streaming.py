@@ -1,0 +1,122 @@
+"""Streaming wave driver: batch/stream agreement + availableNow drain.
+
+The streaming path must be a veneer over the batch operators — pytest
+pins that the streamed schedule equals the batch schedule on the same
+frontier rows, and that telemetry aggregations agree batch-vs-stream.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tweetf0rm_spark.operators.politeness import apply_politeness
+from tweetf0rm_spark.streaming import (
+    host_rate_telemetry,
+    run_streaming_schedule,
+    session_telemetry,
+)
+from tweetf0rm_spark.wave import FRONTIER_COLS, canonicalized, init_frontier
+from tweetf0rm_spark.operators.dedupe import dedupe_within
+
+
+@pytest.fixture(scope="module")
+def frontier_df(spark, corpus_dfs):
+    # a realistic frontier: every page url at depth h(url)%3
+    pages = corpus_dfs["pages"].select("url")
+    f = canonicalized(pages)
+    return (
+        f.withColumn("depth", F.pmod(F.col("url_hash"), F.lit(3)).cast("int"))
+        .withColumn("priority", F.exp(-F.col("depth").cast("double")))
+        .withColumn("state", F.lit("QUEUED"))
+        .withColumn("wave", F.lit(0))
+        .select(*FRONTIER_COLS)
+    )
+
+
+def test_streaming_schedule_matches_batch(spark, frontier_df, tmp_path):
+    fdir = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    frontier_df.write.parquet(fdir)
+
+    run_streaming_schedule(spark, fdir, out, ckpt, default_budget=4)
+
+    streamed = spark.read.parquet(out)
+    batch = apply_politeness(
+        dedupe_within(canonicalized(frontier_df).select(*FRONTIER_COLS)),
+        None,
+        default_budget=4,
+    ).filter(F.col("within_budget"))
+
+    got = {(r.url, r.host_rank) for r in streamed.collect()}
+    want = {(r.url, r.host_rank) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_resume_is_incremental(spark, frontier_df, tmp_path):
+    """availableNow + checkpoint: re-running after new files only
+    processes the new files (no re-emission of committed batches)."""
+    fdir = str(tmp_path / "frontier")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = frontier_df.filter(F.col("url_hash") % 2 == 0)
+    half2 = frontier_df.filter(F.col("url_hash") % 2 != 0)
+    half1.write.parquet(fdir)
+    run_streaming_schedule(spark, fdir, out, ckpt, default_budget=100)
+    n1 = spark.read.parquet(out).count()
+
+    half2.write.mode("append").parquet(fdir)
+    run_streaming_schedule(spark, fdir, out, ckpt, default_budget=100)
+    df = spark.read.parquet(out)
+    assert df.count() == df.select("url").distinct().count()
+    assert df.count() > n1
+
+
+def test_host_rate_telemetry_batch_stream_agree(spark, corpus_dfs, tmp_path):
+    fetched = canonicalized(
+        corpus_dfs["pages"].select("url", "warc_ts")
+    ).select("url", "warc_ts", "registered_domain")
+    pdir = str(tmp_path / "fetched")
+    fetched.write.parquet(pdir)
+
+    batch_out = {
+        (r.window_start, r.registered_domain, r.n_fetched)
+        for r in host_rate_telemetry(fetched).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, registered_domain string"
+        ).parquet(pdir)
+    )
+    out = str(tmp_path / "telemetry")
+    q = (
+        host_rate_telemetry(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only emits windows closed by the watermark; all rows
+    # emitted must agree with the batch result
+    stream_out = {
+        (r.window_start, r.registered_domain, r.n_fetched)
+        for r in spark.read.schema(
+            "window_start timestamp, registered_domain string, n_fetched long"
+        ).parquet(out).collect()
+    }
+    assert stream_out <= batch_out
+
+
+def test_session_telemetry_counts(spark, corpus_dfs):
+    fetched = canonicalized(
+        corpus_dfs["pages"].select("url", "warc_ts")
+    ).select("url", "warc_ts", "registered_domain")
+    sess = session_telemetry(fetched)
+    total = sess.agg(F.sum("n_fetched")).collect()[0][0]
+    assert total == fetched.count()

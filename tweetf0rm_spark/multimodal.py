@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) columns as opaque ``binary`` + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The reference crawler stores only JSON text payloads (``[U]
+tweetf0rm/handler/file_handler.py``); a modern crawl corpus also
+carries media bytes. Spark treatment: media is an opaque ``binary``
+column plus typed metadata columns; every transformation is
+``mapInPandas`` over Arrow batches (never per-row Python). The actual
+codec step is STUBBED in this container (no PIL/ffmpeg): either raise
+``NotImplementedError`` (``fake=False``) or produce a deterministic
+fake feature vector derived from the payload bytes (``fake=True``)
+so the Spark-side plumbing — schema, batch shape, partitioning — is
+real and tested end-to-end.
+
+Scale notes: media batches are byte-heavy, so callers should keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` low (session.py sets
+2048) and budget ``maxPartitionBytes`` so one task's batches fit in
+the Python worker. Feature extraction is embarrassingly parallel —
+no shuffle at all; the only exchange in a decode pipeline is whatever
+the downstream ANN/groupBy needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: decode output: one feature row per media row
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, byte_len int, "
+    "feature array<float>, feat_dim int"
+)
+
+#: frame sampling output: one row per sampled frame
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_md5 string"
+)
+
+FEAT_DIM = 8
+
+
+def _fake_feature(payload: bytes, dim: int = FEAT_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: md5-expand the payload
+    into ``dim`` floats in [0, 1). Pure function of the bytes."""
+    out = np.empty(dim, dtype=np.float32)
+    for j in range(dim):
+        d = hashlib.md5(payload + bytes([j])).digest()
+        out[j] = int.from_bytes(d[:4], "big") / 2**32
+    return out
+
+
+def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary payload → fixed-dim feature vector (Arrow batches).
+
+    ``fake=False`` marks where a real codec (PIL / torchaudio / ffmpeg)
+    plugs in; this container has none, so it raises.
+    """
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode needs PIL/ffmpeg — not in this "
+                    "container; run with fake=True for the deterministic "
+                    "stand-in"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "feature": payloads.map(lambda b: _fake_feature(bytes(b))),
+                    "feat_dim": FEAT_DIM,
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
+    """Deterministic frame sampling for ``video`` rows: one "frame" per
+    ``every_n_bytes`` slice of the payload, fingerprinted by md5. The
+    slice→frame mapping is the stub for keyframe extraction; the
+    explode shape (1 media row → N frame rows) is the real plumbing."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(max(1, len(b) // every_n_bytes)):
+                    chunk = b[k * every_n_bytes : (k + 1) * every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(k)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": md5s}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, FRAME_SCHEMA)
+    )
