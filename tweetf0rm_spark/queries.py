@@ -646,3 +646,127 @@ def hash_funcs(spark, sf):
         "o_orderkey",
         F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
     )
+
+
+@q(
+    "array_funcs",
+    """SELECT p_partkey,
+              len(string_split(p_name, ' ')) AS n_words,
+              array_to_string(list_sort(list_distinct(
+                  string_split(p_name, ' '))), ',') AS sorted_words,
+              list_contains(string_split(p_name, ' '), 'green') AS has_green,
+              array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ')
+                AS first_two
+       FROM part""",
+)
+def array_funcs(spark, sf):
+    p = t(spark, sf, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.sort_array(F.array_distinct(words)), ",").alias(
+            "sorted_words"
+        ),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_join(F.slice(words, 1, 2), " ").alias("first_two"),
+    )
+
+
+@q(
+    "array_explode_wordcount",
+    """SELECT word, count(*) AS n
+       FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+       GROUP BY word""",
+)
+def array_explode_wordcount(spark, sf):
+    p = t(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "map_funcs",
+    """SELECT p_partkey,
+              array_to_string(map_keys(
+                  map {p_brand: p_type, 'size': CAST(p_size AS VARCHAR)}), ',')
+                AS mkeys,
+              array_to_string(map_values(
+                  map {p_brand: p_type, 'size': CAST(p_size AS VARCHAR)}), ',')
+                AS mvals
+       FROM part""",
+)
+def map_funcs(spark, sf):
+    p = t(spark, sf, "part")
+    m = F.create_map(
+        F.col("p_brand"), F.col("p_type"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
+    )
+
+
+@q(
+    "binary_funcs",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              to_base64(encode(substr(text, 1, 12))) AS head_b64,
+              md5(text) AS text_md5
+       FROM documents""",
+)
+def binary_funcs(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "utf-8")).cast("int").alias("n_bytes"),
+        F.base64(F.encode(F.substring("text", 1, 12), "utf-8")).alias("head_b64"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@q(
+    "window_percent_first_last",
+    """SELECT o_orderkey,
+              round(percent_rank() OVER
+                    (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+              first_value(o_orderkey) OVER
+                    (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS cheapest,
+              last_value(o_orderkey) OVER
+                    (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS priciest
+       FROM orders""",
+)
+def window_percent_first_last(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.first("o_orderkey").over(wf).alias("cheapest"),
+        F.last("o_orderkey").over(wf).alias("priciest"),
+    )
+
+
+@q(
+    "set_union_distinct",
+    """SELECT c_nationkey AS nk FROM customer
+       UNION
+       SELECT s_nationkey AS nk FROM supplier""",
+)
+def set_union_distinct(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
