@@ -761,6 +761,21 @@ def window_percent_first_last(spark, sf):
 
 
 @q(
+    "agg_percentile",
+    """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+              round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_percentile(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@q(
     "set_union_distinct",
     """SELECT c_nationkey AS nk FROM customer
        UNION
