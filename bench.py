@@ -90,6 +90,50 @@ def frontier_bench(spark, n_rows: int) -> dict:
     }
 
 
+def extract_bench(spark, n_pages: int) -> dict:
+    """Arrow fetch+extract throughput: JVM-generated HTML bodies →
+    mapInPandas extract (the engine's only hot-path Python crossing)."""
+    from tweetf0rm_spark.extract import extract_text
+    import pandas as pd
+
+    body = F.concat(
+        F.lit("<html><head><title>T"), F.col("id").cast("string"),
+        F.lit("</title><script>var x=1;</script></head><body>"),
+        F.repeat(
+            F.concat(F.lit("<p>lorem ipsum dolor sit amet consectetur "
+                           "adipiscing elit sed do eiusmod tempor row "),
+                     F.col("id").cast("string"), F.lit("</p>")),
+            8,
+        ),
+        F.lit('<a href="https://www.example.org/a">x</a></body></html>'),
+    )
+    pages = spark.range(n_pages).select(
+        F.col("id"), F.encode(body, "utf-8").alias("html")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_chars": pdf["html"].map(
+                    lambda b: len(extract_text(bytes(b)))),
+            })
+
+    out = pages.mapInPandas(kernel, "id long, n_chars int")
+    _run_to_noop(out)  # warm-up
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        _run_to_noop(out)
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    return {
+        "pages": n_pages,
+        "sec": round(wall, 3),
+        "pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -99,12 +143,15 @@ def main() -> None:
     reg = queries()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = reg[name]
+        df = reg[name](spark, sf_dir)
+        _run_to_noop(df)  # warm-up: parquet footer cache, codegen compile
         t0 = time.time()
-        _run_to_noop(fn(spark, sf_dir))
+        _run_to_noop(df)
         per_query[name] = round(time.time() - t0, 3)
 
     fr = frontier_bench(spark, FRONTIER_ROWS)
+    ex = extract_bench(spark, int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES",
+                                                 200_000)))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -118,6 +165,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_val,
         "frontier": fr,
+        "extract": ex,
     }
     print(json.dumps(out))
     spark.stop()
