@@ -761,6 +761,68 @@ def window_percent_first_last(spark, sf):
 
 
 @q(
+    "string_funcs2",
+    """SELECT p_partkey,
+              split_part(p_type, ' ', -1) AS last_word,
+              translate(p_brand, '#', '-') AS brand_dash,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+              reverse(p_name) AS rname,
+              CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+              repeat(p_brand, 2) AS brand2
+       FROM part""",
+)
+def string_funcs2(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.substring_index("p_type", " ", -1).alias("last_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.reverse("p_name").alias("rname"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("a_pos"),
+        F.repeat("p_brand", 2).alias("brand2"),
+    )
+
+
+@q(
+    "json_struct_funcs",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+              json_extract_string(props, '$.source') AS source,
+              CAST(json_valid(props) AS BOOLEAN) AS is_valid
+       FROM events""",
+)
+def json_struct_funcs(spark, sf):
+    e = t(spark, sf, "events")
+    parsed = F.from_json(
+        "props", "k bigint, source string"
+    )
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["source"].alias("source"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@q(
+    "array_posexplode_zip",
+    """SELECT p_partkey,
+              string_split(p_name, ' ')[i + 1] AS word,
+              CAST(i AS INTEGER) AS pos
+       FROM part,
+            LATERAL (SELECT unnest(range(len(string_split(p_name, ' '))))
+                     AS i)""",
+)
+def array_posexplode_zip(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", F.col("pos").cast("int").alias("pos"))
+
+
+@q(
     "agg_percentile",
     """SELECT o_orderstatus,
               round(quantile_cont(o_totalprice, 0.5), 6) AS p50,

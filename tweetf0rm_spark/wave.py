@@ -118,6 +118,11 @@ def run_wave(
     """Run one scheduling+fetch wave. All outputs are lazy DataFrames."""
     cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"))
     cand = dedupe_within(cand.select(*FRONTIER_COLS))
+    if persist:
+        # canonicalize+dedupe feeds the dedupe join, lineage, and (via
+        # deferred) the next frontier — snapshot commit writes several
+        # tables, each a separate job, so cache the common prefix once
+        cand = cand.persist()
 
     # 1. dedupe vs seen-set: bloom pre-check (when blobs supplied) in
     #    front of the exact anti-join — result identical either way
