@@ -88,11 +88,15 @@ def test_resume_equivalence(spark, corpus_dfs):
     )
     cr_b.resume()
 
-    for table in ("frontier", "seen"):
+    for table in ("frontier", "seen_delta"):
         a = cr_a.store.read(spark, table, 3)
         b = cr_b.store.read(spark, table, 3)
         assert a.exceptAll(b).count() == 0, table
         assert b.exceptAll(a).count() == 0, table
+    # full accumulated seen set equal both ways too
+    sa, sb = cr_a.seen_urls(3), cr_b.seen_urls(3)
+    assert sa.exceptAll(sb).count() == 0
+    assert sb.exceptAll(sa).count() == 0
     assert cr_a.fetch_trace(3) == cr_b.fetch_trace(3)
 
     shutil.rmtree(root_a)

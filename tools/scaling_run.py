@@ -75,8 +75,11 @@ raw = gen_frontier_df(spark, n_rows, n_partitions=cores * 2).select(
     F.lit(0).alias("wave"))
 cand = canonicalized(raw).select(
     "url", "url_hash", "registered_domain", "depth", "priority")
-seen = gen_frontier_df(spark, n_rows // 5,
-                       n_partitions=cores * 2).select("url", "url_hash")
+# seen-set = 20% hash-sample of the CANONICAL candidate space, so the
+# anti-join really eliminates ~20% of rows (building it from unmangled
+# URLs made every probe miss — the join did no real dedupe work)
+seen = cand.filter(F.pmod(F.col("url_hash"), F.lit(5)) == 0).select(
+    "url", "url_hash")
 novel = anti_join_seen(cand, seen, hint="shuffle_hash")
 batch = apply_politeness(novel, None, default_budget=64).filter(
     F.col("within_budget")).select(

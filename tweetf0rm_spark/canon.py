@@ -216,9 +216,13 @@ def registered_domain_col(host: Column) -> Column:
     """Last two DNS labels — the politeness + partition key.
 
     Test corpus uses only ``*.example`` so no public-suffix list is
-    needed (FIXTURES.md §C.2); a PSL join slots in here for real data.
+    needed (FIXTURES.md §C.2); the PSL join (psl.py, broadcast
+    suffix-table longest-match) slots in here for real data.
     """
-    return F.concat_ws(".", F.slice(F.split(host, "\\."), -2, 2))
+    labels = F.split(host, "\\.")
+    return F.when(
+        F.size(labels) >= 2, F.concat_ws(".", F.slice(labels, -2, 2))
+    ).otherwise(host)
 
 
 def url_hash_col(canon: Column) -> Column:

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.politeness import DEFAULT_BUDGET, N_SALTS
-from .operators.seenset import DEFAULT_P, build_seen_blobs
+from .operators.seenset import (
+    DEFAULT_P, build_seen_blobs, pid_col, update_seen_blobs,
+)
 from .sources.snapshots import ParquetSnapshotStore, SnapshotStore
 from .wave import empty_seen, init_frontier, run_wave
 
@@ -41,6 +43,7 @@ class CrawlConfig:
     default_budget: int = DEFAULT_BUDGET
     p: int = DEFAULT_P          # seen-set hash partitions (fixed at init)
     use_filters: bool = True    # bloom pre-check in front of anti-join
+    collect_stats: bool = True  # per-wave count() jobs (cheap; off at scale)
 
 
 class Crawl:
@@ -74,11 +77,26 @@ class Crawl:
         )
         self.store.commit(
             0,
-            {"frontier": frontier, "seen": seen, "seen_blobs": blobs,
+            {"frontier": frontier, "seen_delta": seen, "seen_blobs": blobs,
              "lineage": lineage},
             meta={"wave": 0, "p": self.cfg.p},
         )
         return 0
+
+    # ---------------------------------------------------------- seen set
+    def _seen_upto(self, snap: int) -> DataFrame:
+        """Full seen set = union of the append-only per-wave deltas
+        (each delta is disjoint by construction — it survived that
+        wave's anti-join). Replaces the old full-table rewrite: the
+        per-wave write cost is O(delta), not O(corpus)."""
+        dfs = [
+            self.store.read(self.spark, "seen_delta", s)
+            for s in range(snap + 1)
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # ------------------------------------------------------------- step
     def step(self) -> dict:
@@ -88,12 +106,8 @@ class Crawl:
             raise RuntimeError("crawl not initialized — call init(seeds)")
         wave = snap
         frontier = self.store.read(self.spark, "frontier", snap)
-        seen = self.store.read(self.spark, "seen", snap)
-        blobs = (
-            self.store.read(self.spark, "seen_blobs", snap)
-            if self.cfg.use_filters
-            else None
-        )
+        seen = self._seen_upto(snap)
+        blobs = self.store.read(self.spark, "seen_blobs", snap)
         r = run_wave(
             self.spark,
             frontier,
@@ -105,17 +119,25 @@ class Crawl:
             batch_size=self.cfg.batch_size,
             n_salts=self.cfg.n_salts,
             default_budget=self.cfg.default_budget,
-            seen_blobs=blobs,
+            seen_blobs=blobs if self.cfg.use_filters else None,
             p=self.cfg.p,
             persist=True,
         )
-        seen_next = r.seen_next
-        new_blobs = build_seen_blobs(seen_next, p=self.cfg.p, wave=wave + 1)
+        # incremental: fold ONLY the delta into the per-partition blobs
+        # (O(delta) instead of rebuilding every blob from the corpus)
+        new_blobs = update_seen_blobs(
+            blobs, r.seen_delta, p=self.cfg.p, wave=wave + 1
+        )
+        # bucket the delta by the seen-set hash partition on write so a
+        # chain of deltas reads back hash-organized (anti-join locality)
+        delta_bucketed = r.seen_delta.repartition(
+            self.cfg.p, pid_col(p=self.cfg.p)
+        )
         self.store.commit(
             snap + 1,
             {
                 "frontier": r.frontier_next,
-                "seen": seen_next,
+                "seen_delta": delta_bucketed,
                 "seen_blobs": new_blobs,
                 "lineage": r.lineage,
                 "fetch_log": r.fetch_batch.select(*FETCH_LOG_COLS),
@@ -123,10 +145,16 @@ class Crawl:
             },
             meta={"wave": wave + 1, "p": self.cfg.p},
         )
-        n_fetched = self.store.read(self.spark, "fetch_log", snap + 1).count()
-        n_frontier = self.store.read(self.spark, "frontier", snap + 1).count()
-        self.spark.catalog.clearCache()
-        return {"wave": wave, "fetched": n_fetched, "frontier_next": n_frontier}
+        out = {"wave": wave}
+        if self.cfg.collect_stats:
+            out["fetched"] = self.store.read(
+                self.spark, "fetch_log", snap + 1
+            ).count()
+            out["frontier_next"] = self.store.read(
+                self.spark, "frontier", snap + 1
+            ).count()
+        r.unpersist()  # scoped: only this wave's cached blocks
+        return out
 
     # -------------------------------------------------------------- run
     def run(self, max_waves: int = 10) -> list[dict]:
@@ -135,7 +163,7 @@ class Crawl:
         for _ in range(max_waves):
             s = self.step()
             stats.append(s)
-            if s["fetched"] == 0:
+            if s.get("fetched") == 0:  # needs collect_stats for early stop
                 break
         return stats
 
@@ -152,7 +180,8 @@ class Crawl:
         return [r.url for r in df.orderBy("fetch_order").collect()]
 
     def seen_urls(self, snap: int | None = None) -> DataFrame:
-        return self.store.read(self.spark, "seen", snap).select("url")
+        snap = self.store.current() if snap is None else snap
+        return self._seen_upto(snap).select("url")
 
     def lineage(self, snap: int | None = None) -> DataFrame:
         return self.store.read(self.spark, "lineage", snap)

@@ -29,7 +29,9 @@ from typing import Iterable, Iterator
 
 import pandas as pd
 
-__all__ = ["extract_text", "extract_outlinks", "extract_text_pandas"]
+__all__ = [
+    "extract_text", "extract_outlinks", "extract_both", "extract_text_pandas",
+]
 
 _BLOCK_TAGS = frozenset(
     ["p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "br", "title"]
@@ -104,6 +106,25 @@ def extract_outlinks(html: bytes | str | None) -> list[str]:
     return p._links
 
 
+def extract_both(
+    html: bytes | str | None,
+) -> tuple[str | None, list[str] | None]:
+    """Single-pass (text, outlinks) — the hot-path kernel. One
+    ``HTMLParser`` walk per document instead of two; byte-identical to
+    calling :func:`extract_text` and :func:`extract_outlinks`
+    separately (same parser, same spec). Null html propagates as
+    ``(None, None)`` — matching the previous ``na_action='ignore'``
+    batch behavior where dead links carried null outlinks."""
+    if html is None or (isinstance(html, float)):  # None or pandas NaN
+        return None, None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="strict")
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return p.result(), p._links
+
+
 def extract_text_pandas(html: pd.Series) -> pd.Series:
     """Arrow-batch wrapper for use inside mapInPandas (SURVEY.md §3.2)."""
     return html.map(extract_text, na_action="ignore")
@@ -112,11 +133,12 @@ def extract_text_pandas(html: pd.Series) -> pd.Series:
 def extract_batches(
     batches: Iterable[pd.DataFrame], html_col: str = "html"
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: adds ``text`` and ``outlinks`` columns."""
+    """mapInPandas kernel: adds ``text`` and ``outlinks`` columns in a
+    single parser pass per document (see :func:`extract_both`)."""
     for pdf in batches:
-        h = pdf[html_col]
+        pairs = [extract_both(h) for h in pdf[html_col]]
         pdf = pdf.assign(
-            text=h.map(extract_text, na_action="ignore"),
-            outlinks=h.map(extract_outlinks, na_action="ignore"),
+            text=[t for t, _ in pairs],
+            outlinks=[ls for _, ls in pairs],
         )
         yield pdf

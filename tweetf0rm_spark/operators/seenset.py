@@ -74,20 +74,121 @@ def build_seen_blobs(
     return keyed.groupBy("partition_id").applyInPandas(_build, BLOB_SCHEMA)
 
 
+def update_seen_blobs(
+    blobs: DataFrame,
+    delta: DataFrame,
+    p: int = DEFAULT_P,
+    wave: int = 0,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incrementally fold a wave's NEW keys into the per-partition blobs
+    — the scale fix for "rebuild every blob from the full seen set each
+    wave" (O(corpus) per wave → O(delta) per wave).
+
+    Per partition, per kind: insert the delta keys into the newest blob
+    if it has headroom (bloom: n ≤ m·ln2/k estimated capacity; cuckoo:
+    ≤50% projected load); otherwise append a NEW blob sized for
+    max(2×delta, 2×previous) — a scalable-filter chain, ≤O(log n) blobs
+    per partition, probed with OR (see ``_probe_kernel``). Only the
+    newest blob is ever deserialized; older chain links pass through
+    untouched. No false negatives in any path.
+    """
+    import math
+
+    import numpy as np
+
+    def _upd(dpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(dpdf) == 0:
+            return bpdf[["partition_id", "kind", "filter", "n_keys", "wave"]]
+        pid = int(dpdf["partition_id"].iloc[0])
+        keys = dpdf["url_hash"].to_numpy()
+        out = {c: [] for c in ("partition_id", "kind", "filter", "n_keys", "wave")}
+
+        def emit(kind_, blob_, n_, wave_):
+            out["partition_id"].append(pid)
+            out["kind"].append(kind_)
+            out["filter"].append(blob_)
+            out["n_keys"].append(n_)
+            out["wave"].append(wave_)
+
+        for kind in ("bloom", "cuckoo"):
+            rows = bpdf[bpdf["kind"] == kind].sort_values("wave")
+            # older chain links: pass through untouched
+            for _, r in rows.iloc[:-1].iterrows():
+                emit(kind, r["filter"], r["n_keys"], r["wave"])
+            newest = rows.iloc[-1] if len(rows) else None
+            if kind == "bloom":
+                f = (
+                    BloomFilter.from_bytes(bytes(newest["filter"]))
+                    if newest is not None
+                    else BloomFilter(max(64, 2 * len(keys)), fpp)
+                )
+                cap = int(f.m * math.log(2) / f.k)  # n at which FPR hits fpp
+                if f.n + len(keys) <= cap:
+                    f.add(keys)
+                    emit(kind, f.to_bytes(), f.n, wave)
+                else:
+                    if newest is not None:
+                        emit(kind, newest["filter"], newest["n_keys"],
+                             newest["wave"])
+                    g = BloomFilter(max(64, 2 * len(keys), 2 * cap), fpp)
+                    g.add(keys)
+                    emit(kind, g.to_bytes(), g.n, wave)
+            else:
+                f = (
+                    CuckooFilter.from_bytes(bytes(newest["filter"]))
+                    if newest is not None
+                    else CuckooFilter(max(64, 2 * len(keys)))
+                )
+                slots = f.n_buckets * 4  # SLOTS
+                ok = 0
+                if 2 * (f.n + len(keys)) <= slots:  # keep ≤50% load
+                    ok = f.add(keys)
+                if ok == len(keys):
+                    emit(kind, f.to_bytes(), f.n, wave)
+                else:
+                    # no headroom (or rare eviction failure — rejected
+                    # subset unknown): keep old blob, start a fresh one
+                    # holding the WHOLE delta. Duplicate fingerprints
+                    # are membership-harmless.
+                    if newest is not None:
+                        emit(kind, newest["filter"], newest["n_keys"],
+                             newest["wave"])
+                    g = CuckooFilter(max(64, 2 * len(keys), slots))
+                    g.add(keys)
+                    emit(kind, g.to_bytes(), g.n, wave)
+        return pd.DataFrame(out)
+
+    keyed = delta.select("url_hash").withColumn("partition_id", pid_col(p=p))
+    return (
+        keyed.groupBy("partition_id")
+        .cogroup(blobs.groupBy("partition_id"))
+        .applyInPandas(_upd, BLOB_SCHEMA)
+    )
+
+
 def _probe_kernel(kind: str):
     def probe(cand: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
         if len(cand) == 0:
             return cand.assign(maybe_seen=pd.Series([], dtype=bool))
-        row = blobs[blobs["kind"] == kind]
-        if len(row) == 0:  # no blob for this partition → nothing seen
+        rows = blobs[blobs["kind"] == kind]
+        if len(rows) == 0:  # no blob for this partition → nothing seen
             return cand.assign(maybe_seen=False)
-        blob = row["filter"].iloc[0]
-        f = (
-            BloomFilter.from_bytes(bytes(blob))
-            if kind == "bloom"
-            else CuckooFilter.from_bytes(bytes(blob))
-        )
-        return cand.assign(maybe_seen=f.contains(cand["url_hash"].to_numpy()))
+        # a partition may carry a CHAIN of blobs (scalable-filter growth
+        # under incremental updates); membership = OR across the chain —
+        # still no false negatives, FPR sums over ≤O(log n) blobs
+        keys = cand["url_hash"].to_numpy()
+        import numpy as np
+
+        acc = np.zeros(len(cand), dtype=bool)
+        for blob in rows["filter"]:
+            f = (
+                BloomFilter.from_bytes(bytes(blob))
+                if kind == "bloom"
+                else CuckooFilter.from_bytes(bytes(blob))
+            )
+            acc |= f.contains(keys)
+        return cand.assign(maybe_seen=acc)
 
     return probe
 

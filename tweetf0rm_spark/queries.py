@@ -156,14 +156,20 @@ def join_broadcast_dim(spark, sf):
 @q(
     "join_left_nulls",
     """SELECT c_custkey, count(o_orderkey) AS n_orders
-       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       FROM customer
+       LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+         ON c_custkey = o_custkey
        GROUP BY c_custkey
        HAVING count(o_orderkey) = 0""",
 )
 def join_left_nulls(spark, sf):
+    """Left join + null-aware count — filtered right side so the
+    HAVING=0 set is NON-empty at sf0.01 (203 rows; the unfiltered
+    variant was vacuously green — every customer has an order)."""
     c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
         .filter(F.col("n_orders") == 0)
@@ -187,11 +193,16 @@ def join_semi(spark, sf):
 @q(
     "join_anti",
     """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_totalprice > 400000)""",
 )
 def join_anti(spark, sf):
+    """Left anti join — complement of ``join_semi`` (202 rows at
+    sf0.01; the unfiltered variant was vacuously 0-row)."""
     c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -535,14 +546,18 @@ def set_intersect(spark, sf):
 
 @q(
     "set_except",
-    """SELECT n_nationkey AS nk FROM nation
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
        EXCEPT
-       SELECT s_nationkey AS nk FROM supplier""",
+       SELECT o_custkey FROM orders WHERE o_totalprice > 450000""",
 )
 def set_except(spark, sf):
-    n = t(spark, sf, "nation").select(F.col("n_nationkey").alias("nk"))
-    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return n.exceptAll(s).distinct()
+    """EXCEPT with a NON-empty result (336 rows at sf0.01): customers
+    whose largest order lands in (400k, 450k]. The old nation-minus-
+    supplier-nation shape was vacuously 0-row."""
+    o = t(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 450000).select("o_custkey")
+    return a.subtract(b)  # EXCEPT DISTINCT semantics, matches the oracle
 
 
 # ------------------------------------------------------- scalar families

@@ -381,6 +381,66 @@ def crawl_recrawl_age(spark, sf):
     )
 
 
+@q(
+    "crawl_host_sorted_batches",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT url, registered_domain, depth, round(priority, 6) AS prio
+       FROM frontier WHERE depth <= 2""",
+)
+def crawl_host_sorted_batches(spark, sf):
+    """Per-host sorted fetch batches via ``sortWithinPartitions``
+    (SURVEY.md §2.B partition-local sort): repartition by
+    registered_domain so a host's rows land in one partition, then sort
+    locally by (domain, priority desc, url) — NO global sort shuffle, a
+    fetch worker streams its partition in politeness order. Content is
+    oracle-checked (order-insensitive); the within-partition ordering
+    itself is pinned by ``test_sort_within_partitions`` (mapInPandas
+    sortedness probe)."""
+    fv = frontier_view(spark, sf).filter(F.col("depth") <= 2)
+    return (
+        fv.repartition(F.col("registered_domain"))
+        .sortWithinPartitions(
+            "registered_domain", F.desc("priority"), F.asc("url")
+        )
+        .select(
+            "url", "registered_domain", "depth",
+            F.round("priority", 6).alias("prio"),
+        )
+    )
+
+
+@q(
+    "crawl_canonicalize_udf",
+    """SELECT event_id,
+              'https://host' || CAST(user_id % 50 AS VARCHAR)
+                || '.example/e/' || CAST(event_id AS VARCHAR)
+                || '?a=1&a=0&b=2&path=~' AS url_canon
+       FROM events""",
+)
+def crawl_canonicalize_udf(spark, sf):
+    """The registered scalar ``@pandas_udf`` surface (SURVEY.md §2.B):
+    the GENERAL canonicalization path — raw URLs here carry duplicate
+    query keys (spec: stable sort, first-seen order within a key) and
+    percent-escapes needing normalization (%61→'a', %7E→'~'), both
+    outside the builtin chain's grammar (canon.py module docstring), so
+    this MUST route through ``canon_url_pandas``. Arrow-batched
+    Series→Series; one Python crossing."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .canon import canon_url_pandas
+
+    canon_udf = pandas_udf(canon_url_pandas, "string")
+    e = t(spark, sf, "events")
+    raw = F.concat(
+        F.lit("HTTPS://HOST"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".Example:443/e//"),
+        F.col("event_id").cast("string"),
+        F.lit("/?b=2&a=1&a=0&p%61th=%7E&utm_source=x#frag"),
+    )
+    return e.select("event_id", canon_udf(raw).alias("url_canon"))
+
+
 # ------------------------------------------------- streaming-shaped aggs
 
 @q(

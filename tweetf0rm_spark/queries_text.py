@@ -243,26 +243,54 @@ def dedup_minhash_lsh(spark, sf):
     )
 
 
-@q(
-    "dedup_ngram_jaccard",
-    """WITH sh AS (
-         SELECT doc_id, lang,
+_JACC_K = 8          # minhash fns over shingles
+_JACC_BANDS = 4      # 4 bands × r=2 → P(candidate | j=0.6) ≈ 0.83,
+                     #                 P(candidate | j=0.9) ≈ 0.9996
+
+
+def _jaccard_sql() -> str:
+    mins = ",\n                ".join(
+        f"min(md5('j{i}:' || w)) AS m{i}" for i in range(_JACC_K)
+    )
+    band_selects = "\n         UNION ALL\n         ".join(
+        f"SELECT doc_id, {b + 1} AS band_no, m{2 * b} || m{2 * b + 1} AS sig FROM mh"
+        for b in range(_JACC_BANDS)
+    )
+    return f"""WITH sh AS (
+         SELECT doc_id,
                 list_distinct(list_transform(
                   range(1, len(string_split(lower(text), ' '))),
                   i -> string_split(lower(text), ' ')[i] || ' '
                        || string_split(lower(text), ' ')[i + 1])) AS shingles
          FROM documents),
+       tok AS (SELECT doc_id, unnest(shingles) AS w FROM sh),
+       mh AS (SELECT doc_id, {mins}
+              FROM tok GROUP BY doc_id),
+       bands AS (
+         {band_selects}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_no = b.band_no AND a.sig = b.sig AND a.doc_id < b.doc_id),
        p AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-                      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+         SELECT c.doc_a, c.doc_b,
+                round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
                   AS jaccard
-         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-       SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6""",
-)
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.doc_a
+         JOIN sh sb ON sb.doc_id = c.doc_b)
+       SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.6"""
+
+
+@q("dedup_ngram_jaccard", _jaccard_sql())
 def dedup_ngram_jaccard(spark, sf):
-    """Word-bigram shingle Jaccard near-dup pairs, blocked by lang
-    (the blocking key stands in for the LSH pre-filter at scale)."""
+    """Word-bigram shingle Jaccard near-dup pairs, candidate-blocked by
+    MinHash-LSH over the shingle set (4 bands × 2 hashes) — the scale
+    shape: explode → groupBy minhash → equi-join on (band, sig) →
+    verify exact Jaccard ONLY on candidate pairs. No all-pairs
+    comparison anywhere; the previous lang-only blocking was O(n²)
+    within each language."""
     d = t(spark, sf, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     shingles = F.array_distinct(
@@ -273,25 +301,45 @@ def dedup_ngram_jaccard(spark, sf):
             ),
         )
     )
-    sh = d.select("doc_id", "lang", shingles.alias("shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    tok = sh.select("doc_id", F.explode("shingles").alias("w"))
+    mh = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"j{i}:"), F.col("w")))).alias(f"m{i}")
+            for i in range(_JACC_K)
+        ]
+    )
+    bands = None
+    for b in range(_JACC_BANDS):
+        band = mh.select(
+            "doc_id",
+            F.lit(b + 1).alias("band_no"),
+            F.concat(f"m{2 * b}", f"m{2 * b + 1}").alias("sig"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     j = F.round(
-        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         * F.lit(1.0)
-        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            j.alias("jaccard"),
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )
 
@@ -491,25 +539,45 @@ def ann_lsh_bucketed(spark, sf):
 @q(
     "dedup_embedding_neardup",
     f"""WITH {_NORM_CTE.strip()},
+       bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                     round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
                       AS cos_sim
-             FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             FROM bkt a JOIN bkt b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
 )
 def dedup_embedding_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs (threshold chosen to fire
-    on the synthetic corpus; production would LSH-block first)."""
+    """Embedding-cosine near-duplicate pairs, sign-LSH blocked: the
+    6-bit sign bucket (same key as ``ann_lsh_bucketed``) is the
+    equi-join key, so the plan is a shuffled hash join on ``bucket``
+    instead of the unblocked ``a.vec_id < b.vec_id`` BroadcastNestedLoop
+    cross product. Candidates verify with exact cosine ≥ threshold.
+    Recall semantics: near-dup pairs must agree on the 6 leading signs
+    (true duplicates — cos→1 — almost surely do)."""
     n = _emb_norm(spark, sf)
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("v", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ]
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    bkt = n.withColumn("bucket", bucket)
+    a = bkt.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = bkt.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
     )
     cos = F.round(_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )

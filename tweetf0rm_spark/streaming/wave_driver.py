@@ -64,25 +64,59 @@ def run_streaming_schedule(
 ):
     """Continuously schedule frontier micro-batches into fetch batches.
 
-    Each micro-batch runs the batch scheduling operators and appends
-    the in-budget rows (with per-domain rank) to ``out_dir``. Returns
-    the finished ``StreamingQuery`` (``availableNow`` drains all input
-    then stops — the "one crawl session" trigger).
+    Each micro-batch runs the batch scheduling operators and writes
+    the in-budget rows (with per-domain rank) to ``out_dir`` under an
+    ``epoch=<id>`` partition. Returns the finished ``StreamingQuery``
+    (``availableNow`` drains all input then stops — the "one crawl
+    session" trigger).
+
+    Exactly-once + cross-batch dedupe semantics:
+
+    - **Idempotent sink**: each epoch dynamic-partition-overwrites ONLY
+      its own ``epoch=<id>`` directory, so a micro-batch retried after
+      a failure between the parquet write and the checkpoint commit
+      replaces its partial output instead of appending duplicates.
+    - **Cross-batch dedupe**: candidates are anti-joined against the
+      urls already emitted by earlier epochs of this session (in
+      addition to the caller's ``seen``), so splitting the input with
+      ``maxFilesPerTrigger`` never re-emits a url.
+    - **Budget caveat** (documented, matches the batch driver's wave
+      semantics): the per-domain politeness budget applies per
+      micro-batch = per wave; n micro-batches may emit up to n×budget
+      *distinct* urls per domain, exactly as n batch waves would.
     """
     stream = frontier_stream(spark, frontier_dir)
+    out_ddl = FRONTIER_DDL + ", host_rank int, epoch long"
 
     def _schedule(batch_df: DataFrame, epoch_id: int) -> None:
         cand = canonicalized(batch_df.filter(F.col("state") == "QUEUED"))
         cand = dedupe_within(cand.select(*FRONTIER_COLS))
         if seen is not None:
             cand = anti_join_seen(cand, seen)
+        try:  # urls emitted by earlier epochs of this session. MUST
+            # exclude the current epoch: a retried epoch would otherwise
+            # anti-join against its own partial failed output and then
+            # overwrite the partition with only the remainder.
+            prev = (
+                spark.read.schema(out_ddl)
+                .parquet(out_dir)
+                .filter(F.col("epoch") != epoch_id)
+            )
+            cand = anti_join_seen(cand, prev.select("url_hash"))
+        except Exception:
+            pass  # first epoch — nothing emitted yet
         polite = apply_politeness(
             cand, politeness_budget, n_salts=n_salts, default_budget=default_budget
         )
         batch = polite.filter(F.col("within_budget")).select(
             *FRONTIER_COLS, "host_rank"
         ).withColumn("epoch", F.lit(epoch_id))
-        batch.write.mode("append").parquet(out_dir)
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
         if on_batch is not None:
             on_batch(batch, epoch_id)
 

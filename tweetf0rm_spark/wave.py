@@ -26,10 +26,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .canon import canon_url_col, host_col, registered_domain_col, url_hash_col
-from .extract import extract_outlinks, extract_text
+from .extract import extract_both
 from .operators.dedupe import anti_join_seen, dedupe_within
 from .operators.politeness import DEFAULT_BUDGET, N_SALTS, apply_politeness
 from .operators.priority import priority_col
+from .operators.rank import global_row_number
 from .operators.robots import robots_verdict
 from .operators.seenset import DEFAULT_P, dedupe_against_seen
 
@@ -53,7 +54,16 @@ class WaveResult:
     fetched: DataFrame          # fetch+extract output (with text/outlinks)
     frontier_next: DataFrame    # QUEUED rows for wave+1 (deferred ∪ new)
     seen_next: DataFrame        # (url, url_hash) after this wave
+    seen_delta: DataFrame       # ONLY this wave's additions (append log)
     lineage: DataFrame          # per (wave, registered_domain) counters
+    persisted: tuple = ()       # frames run_wave(persist=True) cached
+
+    def unpersist(self) -> None:
+        """Release this wave's cached blocks once outputs are
+        materialized — callers using persist=True must call this (or
+        clearCache) per wave or cached blocks accumulate."""
+        for df in self.persisted:
+            df.unpersist()
 
 
 def canonicalized(frontier: DataFrame) -> DataFrame:
@@ -93,9 +103,10 @@ def _fetch_extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "fetch_order", "warc_ts", "html", "text", "lang", "outlinks",
     ]
     for pdf in batches:
+        pairs = [extract_both(h) for h in pdf["html"]]
         out = pdf.assign(
-            text=pdf["html"].map(extract_text, na_action="ignore"),
-            outlinks=pdf["html"].map(extract_outlinks, na_action="ignore"),
+            text=[t for t, _ in pairs],
+            outlinks=[ls for _, ls in pairs],
         )
         yield out[cols]
 
@@ -145,9 +156,14 @@ def run_wave(
     in_budget = polite.filter(F.col("within_budget"))
     deferred = polite.filter(~F.col("within_budget"))
 
-    # 4. global fetch order: (priority desc, depth, url_hash) [+ limit]
-    w = Window.orderBy(F.desc("priority"), F.asc("depth"), F.asc("url_hash"))
-    batch = in_budget.withColumn("fetch_order", F.row_number().over(w))
+    # 4. global fetch order: (priority desc, depth, url_hash) [+ limit].
+    #    Two-phase distributed rank — a bare Window.orderBy would pull
+    #    the whole in-budget set through ONE task (operators/rank.py).
+    batch = global_row_number(
+        in_budget,
+        [F.desc("priority"), F.asc("depth"), F.asc("url_hash")],
+        name="fetch_order",
+    )
     if batch_size is not None:
         over = batch.filter(F.col("fetch_order") > batch_size)
         deferred = deferred.unionByName(
@@ -186,9 +202,14 @@ def run_wave(
     ).select(*FRONTIER_COLS)
     new_cand = dedupe_within(new_cand)
 
-    # 7. next state: seen' = seen ∪ scheduled; frontier' = deferred ∪ new
+    # 7. next state: seen' = seen ∪ scheduled; frontier' = deferred ∪ new.
+    #    No distinct() needed: scheduled rows survived the anti-join
+    #    (disjoint from seen) and dedupe_within (unique by url_hash), so
+    #    the union is already a set — the full-corpus re-shuffle the old
+    #    `.distinct()` paid every wave is gone. seen_delta is the
+    #    append-only increment the snapshot store persists per wave.
     scheduled_urls = fetch_batch.select("url", "url_hash")
-    seen_next = seen.select("url", "url_hash").unionByName(scheduled_urls).distinct()
+    seen_next = seen.select("url", "url_hash").unionByName(scheduled_urls)
 
     carry = deferred.select(*FRONTIER_COLS).withColumn(
         "state", F.lit("QUEUED")
@@ -214,11 +235,16 @@ def run_wave(
         .withColumn("wave", F.lit(wave))
     )
 
+    persisted = tuple(
+        df for df in (cand, polite, fetched) if df.is_cached
+    ) if persist else ()
     return WaveResult(
         wave=wave,
         fetch_batch=fetch_batch,
         fetched=fetched,
         frontier_next=frontier_next,
         seen_next=seen_next,
+        seen_delta=scheduled_urls,
         lineage=lineage,
+        persisted=persisted,
     )
