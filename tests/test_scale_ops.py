@@ -145,6 +145,32 @@ def test_bloom_chain_overflow_grows_new_blob():
     assert f.n + 1000 > cap
 
 
+# ------------------------------------------- split-routed canonicalize
+
+def test_canonicalized_split_route_matches_spec(spark):
+    """Engine canonicalization (wave.canonicalized) must equal the
+    pure-python spec for BOTH branches: conforming URLs (JVM builtin
+    chain) and non-conforming ones (%-escapes / duplicate query keys →
+    pandas UDF path)."""
+    from tweetf0rm_spark.canon import canon_url
+    from tweetf0rm_spark.wave import canonicalized
+
+    urls = [
+        "https://www.a.example/p/1",                       # fast
+        "HTTPS://B.Example:443/x//y/?b=2&a=1&utm_source=t#f",  # fast
+        "https://c.example/p%61th/%7E?q=1",                # % → slow
+        "https://d.example/p?a=1&a=0&b=2",                 # dup keys → slow
+        "https://e.example/p?x=%2F&x=2",                   # both → slow
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["url"]
+        for r in canonicalized(df.withColumn("depth", F.lit(0))).collect()
+    }
+    want = {canon_url(u) for u in urls}
+    assert set(got) == want, (set(got), want)
+
+
 # ------------------------------------------------- approx tolerance
 
 def test_approx_count_distinct_tolerance(spark):

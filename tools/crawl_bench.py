@@ -51,8 +51,20 @@ def main() -> None:
     )
     crawl.init(rd("seeds"))
 
+    # per-wave timing: with the append-only seen-delta + incremental
+    # blob update, wave cost must track the DELTA (fetch batch), not
+    # the accumulated corpus — the figure that proves the incremental
+    # seen-set path (per_wave[i].sec should flatten, not grow, as the
+    # seen set accumulates across waves)
+    stats = []
     t0 = time.time()
-    stats = crawl.run(max_waves=waves)
+    for _ in range(waves):
+        tw = time.time()
+        s = crawl.step()
+        s["sec"] = round(time.time() - tw, 2)
+        stats.append(s)
+        if s.get("fetched") == 0:
+            break
     crawl_sec = time.time() - t0
 
     fetched = sum(s["fetched"] for s in stats)

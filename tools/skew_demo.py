@@ -34,16 +34,29 @@ from tweetf0rm_spark.datagen import gen_frontier_df  # noqa: E402
 from tweetf0rm_spark.session import get_spark  # noqa: E402
 
 
+N_DOMAINS = 200  # fewer domains → hotter head (top domain ≈ 13% of rows)
+
+
 def build_join(spark, n_rows: int):
-    frontier = gen_frontier_df(spark, n_rows)
-    # per-domain dim (e.g. politeness budgets / domain stats): the join
-    # key is the Zipf-hot registered_domain
-    dim = (
-        frontier.groupBy("registered_domain")
-        .agg(F.count("*").alias("n_dom"))
+    frontier = gen_frontier_df(spark, n_rows, n_domains=N_DOMAINS)
+    # INDEPENDENT per-domain dim (politeness budgets): deriving the dim
+    # from the frontier itself makes Spark reuse the frontier's
+    # exchange for both join sides, and OptimizeSkewedJoin will not
+    # split a reused exchange — with an independent build side the
+    # split fires (verified: SortMergeJoin(skew=true) in the final
+    # adaptive plan)
+    dim = spark.range(0, N_DOMAINS + 1).select(
+        F.concat(
+            F.lit("site"), F.lpad(F.col("id").cast("string"), 5, "0"),
+            F.lit(".example"),
+        ).alias("registered_domain"),
+        (F.pmod(F.xxhash64("id"), F.lit(64)) + 1).cast("int").alias(
+            "max_per_wave"
+        ),
     )
     joined = frontier.join(dim, "registered_domain").select(
-        "registered_domain", "url_hash", "priority", "n_dom"
+        "registered_domain", "url_hash", "priority",
+        F.col("max_per_wave").alias("n_dom"),
     )
     return joined
 
@@ -54,7 +67,13 @@ def run_once(spark, n_rows: int) -> tuple[float, str]:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final-AQE plan must come from an EXECUTED QueryExecution — the
+    # write path runs its own QE, so drive this Dataset's own QE with a
+    # cheap Arrow collect (1 tiny column; the join survives pruning
+    # because n_dom comes from the dim side)
+    probe = df.select((F.col("n_dom") % 2).alias("x"))
+    probe.toPandas()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
     return wall, plan
 
 
@@ -63,12 +82,16 @@ def main() -> None:
     spark = get_spark(
         "skew-demo",
         extra_conf={
-            # force SMJ (no broadcast) so the skewed shuffle exists
+            # force SMJ (no broadcast) so the skewed shuffle exists —
+            # BOTH the static and AQE runtime broadcast thresholds, or
+            # AQE re-plans the join as broadcast and never needs a split
             "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
             # scale AQE's skew trigger down to bench-sized partitions
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.shuffle.partitions": "64",
         },
     )
 

@@ -30,6 +30,7 @@ __all__ = [
     "canon_url",
     "canon_url_col",
     "canon_url_pandas",
+    "needs_general_canon_col",
     "host_col",
     "registered_domain_col",
     "url_hash_col",
@@ -205,6 +206,25 @@ def canon_url_col(url: Column) -> Column:
     return F.when(norm_query == "", base).otherwise(
         F.concat(base, F.lit("?"), norm_query)
     )
+
+
+def needs_general_canon_col(url: Column) -> Column:
+    """TRUE iff ``url`` is outside the builtin chain's grammar and must
+    take the ``canon_url_pandas`` path: percent-escapes (the chain does
+    no %-normalization) or duplicate query keys (the chain sorts by
+    (key, value), the spec keeps first-seen order within a key). A
+    conservative superset test — routing a conforming URL to the
+    general path is always safe (both implementations agree there)."""
+    has_pct = url.contains("%")
+    query = F.when(
+        url.contains("?"), F.substring_index(F.substring_index(url, "?", -1), "#", 1)
+    ).otherwise(F.lit(""))
+    keys = F.transform(
+        F.filter(F.split(query, "&"), lambda kv: F.length(kv) > 0),
+        lambda kv: F.split(kv, "=")[0],
+    )
+    dup_keys = F.size(keys) != F.size(F.array_distinct(keys))
+    return has_pct | dup_keys
 
 
 def host_col(canon: Column) -> Column:

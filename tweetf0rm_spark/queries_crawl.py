@@ -441,6 +441,57 @@ def crawl_canonicalize_udf(spark, sf):
     return e.select("event_id", canon_udf(raw).alias("url_canon"))
 
 
+@q(
+    "crawl_budget_udaf",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT registered_domain,
+              count(*) AS n_urls,
+              1 + (CAST(substr(registered_domain, 5,
+                    length(registered_domain) - 12) AS INTEGER) % 4) AS budget,
+              least(count(*), 1 + (CAST(substr(registered_domain, 5,
+                    length(registered_domain) - 12) AS INTEGER) % 4)) AS fetched,
+              count(*) - least(count(*), 1 + (CAST(substr(registered_domain, 5,
+                    length(registered_domain) - 12) AS INTEGER) % 4)) AS deferred,
+              round(max(priority), 6) AS top_prio
+       FROM frontier GROUP BY registered_domain""",
+)
+def crawl_budget_udaf(spark, sf):
+    """Per-host budget accounting as a pandas UDAF (SURVEY.md §2.B
+    "pandas UDAF — per-group 1-row"): ``applyInPandas`` over
+    registered_domain groups, each kernel invocation reduces one
+    domain's frontier slice to ONE accounting row (urls, budget,
+    fetched-vs-deferred split, top priority). The grouped-map shuffle is
+    the same hash-by-domain exchange the politeness window needs —
+    exchange-compatible at scale."""
+    import pandas as pd
+
+    fv = frontier_view(spark, sf).select(
+        "registered_domain", "priority"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        dom = pdf["registered_domain"].iloc[0]
+        num = int(dom[4 : len(dom) - 8])  # 'host<k>.example'
+        budget = 1 + num % 4
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "registered_domain": [dom],
+                "n_urls": [n],
+                "budget": [budget],
+                "fetched": [min(n, budget)],
+                "deferred": [n - min(n, budget)],
+                "top_prio": [round(float(pdf["priority"].max()), 6)],
+            }
+        )
+
+    return fv.groupBy("registered_domain").applyInPandas(
+        kernel,
+        "registered_domain string, n_urls long, budget int, "
+        "fetched long, deferred long, top_prio double",
+    )
+
+
 # ------------------------------------------------- streaming-shaped aggs
 
 @q(

@@ -25,7 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .canon import canon_url_col, host_col, registered_domain_col, url_hash_col
+from .canon import (
+    canon_url_col, canon_url_pandas, host_col, needs_general_canon_col,
+    registered_domain_col, url_hash_col,
+)
 from .extract import extract_both
 from .operators.dedupe import anti_join_seen, dedupe_within
 from .operators.politeness import DEFAULT_BUDGET, N_SALTS, apply_politeness
@@ -67,9 +70,21 @@ class WaveResult:
 
 
 def canonicalized(frontier: DataFrame) -> DataFrame:
-    """Attach canonical identity columns (built-in chain, no Python)."""
-    c = canon_url_col(F.col("url"))
-    df = frontier.withColumn("url", c)
+    """Attach canonical identity columns — split-routed.
+
+    URLs inside the builtin chain's grammar take the JVM whole-stage-
+    codegen path (the vast majority: zero Python); URLs with %-escapes
+    or duplicate query keys — where the chain diverges from the spec
+    (canon.py module docstring) — route through the Arrow-vectorized
+    ``canon_url_pandas``. The split is a cheap codegen predicate +
+    unionByName: no shuffle, both branches stream."""
+    from pyspark.sql.functions import pandas_udf
+
+    needs = needs_general_canon_col(F.col("url"))
+    fast = frontier.filter(~needs).withColumn("url", canon_url_col(F.col("url")))
+    canon_udf = pandas_udf(canon_url_pandas, "string")
+    slow = frontier.filter(needs).withColumn("url", canon_udf(F.col("url")))
+    df = fast.unionByName(slow)
     df = df.withColumn("url_hash", url_hash_col(F.col("url")))
     df = df.withColumn("host", host_col(F.col("url")))
     return df.withColumn("registered_domain", registered_domain_col(F.col("host")))
