@@ -21,15 +21,35 @@ order is a strict total order (the engine's always ends in ``url_hash``,
 unique per batch after ``dedupe_within``): ties crossing a range
 boundary would otherwise be numbered by partition placement.
 
-Cost: one range shuffle + one hash shuffle on the P-valued partition id
-(bounded tasks) + a P-row driver-free offset join. No single-task stage
-anywhere; survives a 100× scale-up by raising ``num_partitions``.
+CORRECTNESS REQUIREMENT — the range-shuffled frame is consumed twice
+(once for local ranks, once for per-partition counts).
+``repartitionByRange`` picks its split points by reservoir *sampling*,
+so two independent executions of the same exchange can draw DIFFERENT
+boundaries; offsets computed against one partitioning applied to ranks
+from another silently corrupt the global numbering (observed: ~87% of
+ranks wrong on a 5k-row frame — Spark does not reliably reuse the
+exchange across the two subtrees, with or without AQE). The fix is the
+same one every zipWithIndex-style DataFrame utility uses: persist the
+shuffled frame, so both consumers scan ONE cached RDD whose
+RangePartitioner was instantiated exactly once. Even on cache eviction
+a recomputed block replays the same already-built partitioner, so
+boundaries stay fixed. The cached frame is the batch being ranked
+(bounded: the in-budget set, not the frontier); callers that loop
+(``Crawl.step``) clear it per wave, and it is exposed on the result as
+``._gr_cached`` so ``run_wave(persist=True)`` can unpersist it with the
+wave's other frames.
+
+Cost: one range shuffle + one cached scan + one hash shuffle on the
+P-valued partition id (bounded tasks) + a P-row broadcast offset join.
+No single-task stage anywhere; survives a 100× scale-up by raising
+``num_partitions``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def global_row_number(
@@ -41,14 +61,16 @@ def global_row_number(
 ) -> DataFrame:
     """Add exact global ``row_number() over (order by *order)`` as
     ``name`` without a single-partition window. ``order`` must be a
-    strict total order (end it with a unique key)."""
+    strict total order (end it with a unique key). The returned frame
+    carries the internally-persisted shuffle as ``._gr_cached`` —
+    unpersist it (or ``spark.catalog.clearCache()``) when done."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     parted = df.repartitionByRange(num_partitions, *order).withColumn(
         "_gr_pid", F.spark_partition_id()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w_local = Window.partitionBy("_gr_pid").orderBy(*order)
     local = parted.withColumn("_gr_lr", F.row_number().over(w_local))
 
@@ -64,6 +86,8 @@ def global_row_number(
     )
 
     out = local.join(F.broadcast(offsets), on="_gr_pid", how="inner")
-    return out.withColumn(
+    out = out.withColumn(
         name, (F.col("_gr_lr") + F.col("_gr_off")).cast(out_type)
     ).drop("_gr_pid", "_gr_lr", "_gr_off")
+    out._gr_cached = parted  # for caller-scoped unpersist
+    return out

@@ -179,6 +179,9 @@ def run_wave(
         [F.desc("priority"), F.asc("depth"), F.asc("url_hash")],
         name="fetch_order",
     )
+    # the rank's internally-persisted range shuffle (exchange-consistency
+    # requirement, operators/rank.py) — released via WaveResult.unpersist
+    rank_cache = getattr(batch, "_gr_cached", None)
     if batch_size is not None:
         over = batch.filter(F.col("fetch_order") > batch_size)
         deferred = deferred.unionByName(
@@ -251,8 +254,8 @@ def run_wave(
     )
 
     persisted = tuple(
-        df for df in (cand, polite, fetched) if df.is_cached
-    ) if persist else ()
+        df for df in (cand, polite, fetched) if persist and df.is_cached
+    ) + ((rank_cache,) if rank_cache is not None else ())
     return WaveResult(
         wave=wave,
         fetch_batch=fetch_batch,
