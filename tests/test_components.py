@@ -1,0 +1,51 @@
+"""connected_components (operators/components.py): hash-min label
+propagation over a pair table — the dedup-cluster assembly operator."""
+
+from pyspark.sql import functions as F
+
+from tweetf0rm_spark.operators.components import connected_components
+
+
+def _run(spark, n_vertices, edge_pairs):
+    verts = spark.createDataFrame([(i,) for i in range(n_vertices)], ["id"])
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], ["src", "dst"]
+    )
+    out = connected_components(verts, edges)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # 0-1-2-3-4-5 chain: diameter 5, min label must propagate end-to-end
+    comp = _run(spark, 8, [(i, i + 1) for i in range(5)] + [(6, 7)])
+    assert all(comp[i] == 0 for i in range(6))
+    assert comp[6] == comp[7] == 6
+
+
+def test_isolated_vertices_are_own_component(spark):
+    comp = _run(spark, 5, [(1, 3)])
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4}
+
+
+def test_direction_irrelevant(spark):
+    # edges given "backwards" — symmetrization must handle it
+    a = _run(spark, 4, [(3, 2), (2, 1), (1, 0)])
+    b = _run(spark, 4, [(0, 1), (1, 2), (2, 3)])
+    assert a == b == {i: 0 for i in range(4)}
+
+
+def test_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge collapse to one component
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    comp = _run(spark, 13, tri1 + tri2 + [(2, 10)])
+    assert comp[0] == comp[12] == 0
+    # the untouched vertices 3..9 stay singletons
+    assert all(comp[i] == i for i in range(3, 10))
+
+
+def test_canonical_keeper_selection(spark):
+    """The downstream dedup pattern: keep rows where id == component."""
+    comp = _run(spark, 6, [(0, 5), (1, 4)])
+    keepers = sorted(k for k, c in comp.items() if k == c)
+    assert keepers == [0, 1, 2, 3]

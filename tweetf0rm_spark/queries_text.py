@@ -555,6 +555,14 @@ def dedup_embedding_neardup(spark, sf):
     cross product. Candidates verify with exact cosine ≥ threshold.
     Recall semantics: near-dup pairs must agree on the 6 leading signs
     (true duplicates — cos→1 — almost surely do)."""
+    return _embedding_neardup_pairs(spark, sf)
+
+
+def _embedding_neardup_pairs(spark, sf, threshold: float = 0.35):
+    """Sign-LSH-blocked near-dup pair list (vec_a < vec_b, cos ≥
+    ``threshold``) — shared by ``dedup_embedding_neardup`` (0.35) and
+    the cluster-assembly query ``dedup_connected_components`` (0.25,
+    looser so components are transitive chains, not just pairs)."""
     n = _emb_norm(spark, sf)
     bucket = F.concat(
         *[
@@ -579,5 +587,200 @@ def dedup_embedding_neardup(spark, sf):
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+# --------------------------------------- dedup clusters / IVF / chunking
+
+_NEARDUP_PAIRS_CTE = f"""
+bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
+prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bkt a JOIN bkt b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+              >= 0.25)
+"""
+
+
+@q(
+    "dedup_connected_components",
+    f"""WITH RECURSIVE {_NORM_CTE.strip()},
+       {_NEARDUP_PAIRS_CTE.strip()},
+       e AS (SELECT vec_a AS s, vec_b AS d FROM prs
+             UNION ALL SELECT vec_b, vec_a FROM prs),
+       reach(src, dst) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s
+       )
+       SELECT src AS vec_id, min(dst) AS component FROM reach
+       GROUP BY src""",
+)
+def dedup_connected_components(spark, sf):
+    """Near-dup *clusters* from near-dup *pairs*: hash-min label
+    propagation (operators/components.py) over the sign-LSH-blocked
+    pair list. component = min reachable vec_id; keeping rows where
+    ``vec_id == component`` is the canonical-document selection a
+    training pipeline performs after pairing. Isolated vectors are
+    their own component. Per-round cost: one shuffle join + one
+    groupBy-min; rounds = cluster diameter (small for near-dup
+    graphs)."""
+    from .operators.components import connected_components
+
+    pairs = _embedding_neardup_pairs(spark, sf, threshold=0.25).select(
+        "vec_a", "vec_b"
+    )
+    verts = t(spark, sf, "embeddings").select("vec_id")
+    return connected_components(
+        verts, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+
+
+@q(
+    "ann_ivf_topk",
+    f"""WITH {_NORM_CTE.strip()},
+       cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                WHERE vec_id < 8),
+       asg AS (SELECT n.vec_id, n.v, n.nrm, cid,
+                      row_number() OVER (
+                        PARTITION BY n.vec_id
+                        ORDER BY round(list_dot_product(n.v, cv)
+                                       / (n.nrm * cn), 6) DESC, cid
+                      ) AS crnk
+               FROM n CROSS JOIN cent),
+       cell AS (SELECT vec_id, v, nrm, cid FROM asg WHERE crnk = 1),
+       qprobe AS (SELECT vec_id AS q_vec, v AS qv, nrm AS qn, cid
+                  FROM asg WHERE vec_id < 5 AND crnk <= 2),
+       p AS (SELECT q_vec, c.vec_id AS neighbor,
+                    round(list_dot_product(qv, c.v) / (qn * c.nrm), 6)
+                      AS cos_sim
+             FROM qprobe q JOIN cell c
+               ON c.cid = q.cid AND c.vec_id != q.q_vec),
+       r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
+                       ORDER BY cos_sim DESC, neighbor) AS rnk FROM p)
+       SELECT q_vec, neighbor, rnk, cos_sim FROM r WHERE rnk <= 5""",
+)
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN — the other classic scale path next to
+    sign-LSH: partition the corpus into cells around centroids, probe
+    only the query's ``nprobe`` nearest cells. Centroids here are the
+    vectors with ``vec_id < 8`` (deterministic "training" both engines
+    reproduce; real k-means would be an offline job whose output lands
+    in the same small broadcast table). Assignment is a broadcast
+    cross-join against 8 centroids (map-side, O(n·C), no shuffle of
+    the corpus) + per-vector rank; the search join is an equi-join on
+    ``cid`` — candidates never leave their cell, so the plan is a
+    bounded shuffled hash join instead of all-pairs."""
+    n = _emb_norm(spark, sf)
+    cent = n.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    ccos = F.round(_cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn")), 6)
+    wassign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    asg = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crnk", F.row_number().over(wassign))
+    )
+    cell = asg.filter(F.col("crnk") == 1).select("vec_id", "v", "nrm", "cid")
+    qprobe = asg.filter((F.col("vec_id") < 5) & (F.col("crnk") <= 2)).select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cid",
+    )
+    scos = F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6)
+    p = qprobe.join(
+        cell, (cell["cid"] == qprobe["cid"]) & (cell["vec_id"] != qprobe["q_vec"])
+    ).select("q_vec", F.col("vec_id").alias("neighbor"), scos.alias("cos_sim"))
+    wtop = W.partitionBy("q_vec").orderBy(F.desc("cos_sim"), F.asc("neighbor"))
+    return (
+        p.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= 5)
+        .select("q_vec", "neighbor", "rnk", "cos_sim")
+    )
+
+
+@q(
+    "text_chunk_windows",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+       s AS (SELECT doc_id, words,
+                    unnest(range(0, greatest(len(words), 1), 16)) AS start
+             FROM w)
+       SELECT doc_id,
+              CAST(start // 16 AS INT) AS chunk_idx,
+              array_to_string(list_slice(words, start + 1, start + 32), ' ')
+                AS chunk_text,
+              len(list_slice(words, start + 1, start + 32)) AS n_tokens
+       FROM s""",
+)
+def text_chunk_windows(spark, sf):
+    """Fixed-size token-window chunking (stride 16, window 32) — the
+    standard context-length preprocessing step for LLM training data.
+    Pure built-ins: split → sequence of starts → explode → slice, all
+    whole-stage codegen, one narrow fan-out (no shuffle at all)."""
+    d = t(spark, sf, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("words") - 1, F.lit(0)), F.lit(16)
+    )
+    ex = w.select("doc_id", "words", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("words"), F.col("start") + 1, 32)
+    return ex.select(
+        "doc_id",
+        (F.col("start") / 16).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+@q(
+    "sample_hash_mod",
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+             IN ('0', '1', '2', '3')""",
+)
+def sample_hash_mod(spark, sf):
+    """Deterministic ~25% sample via the last md5 hex digit of the key
+    — unlike ``df.sample`` this is reproducible across engines, runs,
+    AND retries (a task retry under ``sample`` can emit different rows
+    per partition; hash-mod sampling cannot), which is what a training
+    pipeline needs for holdout splits. Pushdown-friendly: a pure
+    filter, no shuffle."""
+    d = t(spark, sf, "documents")
+    tail = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    return d.filter(tail.isin("0", "1", "2", "3")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@q(
+    "text_hof_stats",
+    """SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> len(x) > 4))
+                AS n_long,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                                           x -> len(x))) AS BIGINT)
+                AS sum_len,
+              list_contains(string_split(text, ' '), 'spark') AS has_spark,
+              list_max(list_transform(string_split(text, ' '),
+                                      x -> len(x))) AS max_len
+       FROM documents""",
+)
+def text_hof_stats(spark, sf):
+    """Higher-order array functions (SURVEY §2.B array family, lambda
+    forms): filter / aggregate / exists / transform+array_max — all
+    JVM-side expression evaluation over the token array, zero Python,
+    zero shuffle."""
+    d = t(spark, sf, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("long")
+        .alias("sum_len"),
+        F.exists(w, lambda x: x == F.lit("spark")).alias("has_spark"),
+        F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_len"),
     )
