@@ -77,9 +77,15 @@ cand = canonicalized(raw).select(
     "url", "url_hash", "registered_domain", "depth", "priority")
 # seen-set = 20% hash-sample of the CANONICAL candidate space, so the
 # anti-join really eliminates ~20% of rows (building it from unmangled
-# URLs made every probe miss — the join did no real dedupe work)
-seen = cand.filter(F.pmod(F.col("url_hash"), F.lit(5)) == 0).select(
-    "url", "url_hash")
+# URLs made every probe miss — the join did no real dedupe work).
+# Materialized to parquet UNTIMED: in the engine the seen-set is a
+# snapshot-table read from the previous wave, never recomputed from
+# the candidate plan — deriving it lazily here re-ran the whole
+# canonicalization a second time inside the timed job.
+seen_dir = "/dev/shm/spark-local/seen"
+cand.filter(F.pmod(F.col("url_hash"), F.lit(5)) == 0).select(
+    "url", "url_hash").write.mode("overwrite").parquet(seen_dir)
+seen = spark.read.parquet(seen_dir)
 novel = anti_join_seen(cand, seen, hint="shuffle_hash")
 batch = apply_politeness(novel, None, default_budget=64).filter(
     F.col("within_budget")).select(
