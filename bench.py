@@ -48,8 +48,11 @@ HEADLINE = [
     "stream_sessionization",
     "dedup_minhash_lsh",
     "dedup_exact_groups",
+    "dedup_connected_components",
     "ann_brute_force_topk",
+    "ann_lsh_bucketed",
     "text_quality_score",
+    "text_chunk_windows",
 ]
 
 FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", 5_000_000))

@@ -69,7 +69,7 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if only and not name.startswith(only):
+        if only and not any(name.startswith(p) for p in only.split(",")):
             continue
         t0 = time.time()
         try:

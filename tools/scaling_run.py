@@ -63,12 +63,12 @@ from tweetf0rm_spark.wave import canonicalized
 cores = int(sys.argv[1]); n_rows = int(sys.argv[2]); reps = int(sys.argv[3])
 os.makedirs("/dev/shm/spark-local", exist_ok=True)
 spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]",
-                  extra_conf={"spark.sql.shuffle.partitions": str(cores * 2),
+                  extra_conf={"spark.sql.shuffle.partitions": str(cores * 4),
                               "spark.local.dir": "/dev/shm/spark-local"})
 
 # raw non-canonical variants: every candidate URL pays canonicalization,
 # exactly like run_wave's candidate path
-raw = gen_frontier_df(spark, n_rows, n_partitions=cores * 2).select(
+raw = gen_frontier_df(spark, n_rows, n_partitions=cores * 4).select(
     F.concat(F.lit("HTTPS://"), F.upper(F.split("url", "://")[1]),
              F.lit("/?b=2&a=1&utm_source=x#frag")).alias("url"),
     "depth", "priority", F.lit("QUEUED").alias("state"),

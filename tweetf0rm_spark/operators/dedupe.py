@@ -29,8 +29,14 @@ def anti_join_seen(
     key: str = "url_hash",
     hint: str | None = None,
 ) -> DataFrame:
-    """Exact dedupe: candidates NOT IN seen (left anti hash join)."""
-    seen_keys = seen.select(key).distinct()
+    """Exact dedupe: candidates NOT IN seen (left anti hash join).
+
+    No ``distinct()`` on the seen side: anti-join results are
+    independent of right-side multiplicity, and the seen-set is a set
+    by construction (every delta survived this same anti-join), so a
+    dedupe pass would be a full hash-aggregate of 10^10 keys per wave
+    for nothing."""
+    seen_keys = seen.select(key)
     if hint == "broadcast":
         seen_keys = F.broadcast(seen_keys)
     elif hint:
@@ -41,8 +47,9 @@ def anti_join_seen(
 def already_seen(
     candidates: DataFrame, seen: DataFrame, key: str = "url_hash"
 ) -> DataFrame:
-    """Diagnostics: the candidates that WERE seen (left semi)."""
-    return candidates.join(seen.select(key).distinct(), on=key, how="left_semi")
+    """Diagnostics: the candidates that WERE seen (left semi — also
+    multiplicity-independent, same no-distinct argument as above)."""
+    return candidates.join(seen.select(key), on=key, how="left_semi")
 
 
 def dedupe_within(df: DataFrame, key: str = "url_hash",

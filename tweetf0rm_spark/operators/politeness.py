@@ -26,6 +26,13 @@ so we salt explicitly with an EXACT two-phase top-k:
 
 Order within a domain is the engine total order
 (priority desc, depth, url_hash) — deterministic, partition-layout-free.
+
+Known cost, accepted: the survivor/loser branches both sit above the
+phase-1 window, whose *exchange* is reused but whose sort+rank re-run
+per branch (map-side only — no extra shuffle). Fusing the branches
+would need either a conditional window (not expressible) or an extra
+full-width exchange keyed by domain alone, which reintroduces the hot-
+domain straggler this operator exists to kill.
 """
 
 from __future__ import annotations

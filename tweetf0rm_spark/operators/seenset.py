@@ -238,9 +238,15 @@ def dedupe_against_seen(
         return anti_join_seen(candidates, seen)
     kind = "bloom" if exact else "cuckoo"
     probed = probe_seen_blobs(candidates, blobs, p=p, kind=kind)
-    clear = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     if not exact:
-        return clear
+        return probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    # Materialize the probe behind ONE exchange before branching:
+    # filter branches only reuse *exchanges*, so without this the
+    # Python cogroup probe would re-run per branch (2× the bloom CPU
+    # over every candidate). Hashing by url_hash also hands the
+    # suspects to the anti-join already co-partitioned on its key.
+    probed = probed.repartition(F.col("url_hash"))
+    clear = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_novel = anti_join_seen(suspects, seen)
     return clear.unionByName(confirmed_novel)

@@ -567,3 +567,88 @@ def stream_sessionization(spark, sf):
         F.sum("is_new").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@q(
+    "stream_lifetime_budget",
+    """WITH c AS (
+         SELECT 'https://host' || CAST(user_id % 50 AS VARCHAR)
+                  || '.example/e/' || CAST(event_id AS VARCHAR) AS url,
+                event_id AS url_hash,
+                'host' || CAST(user_id % 50 AS VARCHAR) || '.example'
+                  AS registered_domain,
+                event_id % 2 AS batch_no
+         FROM events WHERE event_id < 2000),
+       r AS (SELECT url, url_hash, registered_domain,
+                    row_number() OVER (
+                      PARTITION BY registered_domain
+                      ORDER BY batch_no, url_hash) AS lifetime_rank
+             FROM c)
+       SELECT url, url_hash, registered_domain, lifetime_rank
+       FROM r WHERE lifetime_rank <= 12""",
+)
+def stream_lifetime_budget(spark, sf):
+    """Custom stateful streaming operator, run for real: a 2-micro-batch
+    Structured Streaming drain through ``lifetime_budget_stream``
+    (applyInPandasWithState; streaming/stateful.py). The candidate set
+    is split by ``event_id % 2`` into two parquet files with strictly
+    increasing mtimes, streamed with ``maxFilesPerTrigger=1`` so the
+    trigger order — and therefore the cross-batch admit order — is
+    pinned (batch_no, url_hash). That determinism is what makes a FULL
+    SQL oracle possible for a stateful streaming op: the oracle
+    restates it as a rank over (batch_no, url_hash) capped at the
+    lifetime budget. State = one counter per domain, carried across
+    triggers by the state store."""
+    import os
+    import tempfile
+
+    from .streaming.stateful import lifetime_budget_stream
+
+    e = t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    cand = e.select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id").alias("url_hash"),
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".example"),
+        ).alias("registered_domain"),
+        (F.col("event_id") % 2).alias("batch_no"),
+    )
+    root = tempfile.mkdtemp(prefix="lifetime_budget_")
+    fdir = os.path.join(root, "in")
+    for b in (0, 1):
+        part = os.path.join(root, f"b{b}")
+        cand.filter(F.col("batch_no") == b).drop("batch_no").coalesce(
+            1
+        ).write.parquet(part)
+        os.makedirs(fdir, exist_ok=True)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(fdir, f"batch{b}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema(
+            "url string, url_hash long, registered_domain string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(fdir)
+    )
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    query = (
+        lifetime_budget_stream(stream, lifetime_budget=12)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out).select(
+        "url", "url_hash", "registered_domain", "lifetime_rank"
+    )

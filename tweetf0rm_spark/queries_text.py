@@ -687,11 +687,11 @@ def ann_ivf_topk(spark, sf):
     cell = asg.filter(F.col("crnk") == 1).select("vec_id", "v", "nrm", "cid")
     qprobe = asg.filter((F.col("vec_id") < 5) & (F.col("crnk") <= 2)).select(
         F.col("vec_id").alias("q_vec"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "cid",
+        F.col("nrm").alias("qn"), F.col("cid").alias("qcid"),
     )
     scos = F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6)
     p = qprobe.join(
-        cell, (cell["cid"] == qprobe["cid"]) & (cell["vec_id"] != qprobe["q_vec"])
+        cell, (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("q_vec"))
     ).select("q_vec", F.col("vec_id").alias("neighbor"), scos.alias("cos_sim"))
     wtop = W.partitionBy("q_vec").orderBy(F.desc("cos_sim"), F.asc("neighbor"))
     return (
@@ -783,4 +783,158 @@ def text_hof_stats(spark, sf):
         .alias("sum_len"),
         F.exists(w, lambda x: x == F.lit("spark")).alias("has_spark"),
         F.array_max(F.transform(w, lambda x: F.length(x))).alias("max_len"),
+    )
+
+
+# ------------------------------- cluster summary / sampling / quality
+
+@q(
+    "dedup_cluster_summary",
+    f"""WITH RECURSIVE {_NORM_CTE.strip()},
+       {_NEARDUP_PAIRS_CTE.strip()},
+       e AS (SELECT vec_a AS s, vec_b AS d FROM prs
+             UNION ALL SELECT vec_b, vec_a FROM prs),
+       reach(src, dst) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s
+       ),
+       lbl AS (SELECT src AS vec_id, min(dst) AS component FROM reach
+               GROUP BY src)
+       SELECT vec_id, component,
+              count(*) OVER (PARTITION BY component) AS cluster_size,
+              vec_id = component AS is_keeper
+       FROM lbl""",
+)
+def dedup_cluster_summary(spark, sf):
+    """The join-back step after cluster assembly: every vector tagged
+    with its component, the component's size, and whether it is the
+    keeper (min id) a dedup pipeline retains. One extra hash
+    aggregation + shuffle join over the CC labels — cluster-size
+    distribution and drop-set selection come from this one frame."""
+    from .operators.components import connected_components
+
+    pairs = _embedding_neardup_pairs(spark, sf, threshold=0.25).select(
+        "vec_a", "vec_b"
+    )
+    verts = t(spark, sf, "embeddings").select("vec_id")
+    lbl = connected_components(
+        verts, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    sizes = lbl.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return lbl.join(sizes, "component").select(
+        "vec_id",
+        "component",
+        "cluster_size",
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
+
+
+@q(
+    "sample_stratified_topn",
+    """WITH r AS (SELECT doc_id, lang,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ) AS rk
+                  FROM documents)
+       SELECT doc_id, lang, rk FROM r WHERE rk <= 50""",
+)
+def sample_stratified_topn(spark, sf):
+    """Stratified sampling: exactly N docs per language, chosen by md5
+    hash order — deterministic across engines, runs, and task retries
+    (unlike ``df.sample``), and balanced per stratum (unlike plain
+    hash-mod). One shuffle on ``lang``; per-group top-k stays a
+    partial top-k under the window's rank pushdown."""
+    d = t(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@q(
+    "text_repetition_ratio",
+    """WITH g AS (
+         SELECT doc_id, lang,
+                list_transform(
+                  range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1] || ' ' ||
+                       string_split(text, ' ')[i + 2]) AS tri
+         FROM documents)
+       SELECT doc_id, lang, len(tri) AS n_trigrams,
+              CASE WHEN len(tri) = 0 THEN CAST(0.0 AS DOUBLE)
+                   ELSE round(1.0 - len(list_distinct(tri)) / len(tri), 6)
+              END AS rep_ratio
+       FROM g""",
+)
+def text_repetition_ratio(spark, sf):
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of duplicate word trigrams. Pure expression work — build
+    the trigram array with ``transform`` over an index sequence,
+    compare distinct vs total — no explode, no shuffle; the quality
+    filter this feeds is a plain predicate on ``rep_ratio``."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    g = d.select("doc_id", "lang", tri.alias("tri"))
+    rep = F.when(F.size("tri") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("tri")) / F.size("tri"),
+            6,
+        )
+    )
+    return g.select(
+        "doc_id",
+        "lang",
+        F.size("tri").alias("n_trigrams"),
+        rep.alias("rep_ratio"),
+    )
+
+
+@q(
+    "split_assign_counts",
+    """SELECT lang,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        BETWEEN '0' AND 'b' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS split,
+              count(*) AS n_docs
+       FROM documents GROUP BY ALL""",
+)
+def split_assign_counts(spark, sf):
+    """Train/val/test holdout assignment by the first md5 hex digit of
+    the key (12/2/2 of 16 ≈ 75/12.5/12.5%) — the split is a pure
+    per-row function of the key, so it is stable under reshuffles,
+    retries, and incremental corpus growth (a new doc never moves an
+    old one between splits). The count rollup is one partial-agg
+    shuffle."""
+    d = t(spark, sf, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit.between("0", "b"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
     )

@@ -70,21 +70,28 @@ class WaveResult:
 
 
 def canonicalized(frontier: DataFrame) -> DataFrame:
-    """Attach canonical identity columns — split-routed.
+    """Attach canonical identity columns — split-routed, single pass.
 
     URLs inside the builtin chain's grammar take the JVM whole-stage-
-    codegen path (the vast majority: zero Python); URLs with %-escapes
-    or duplicate query keys — where the chain diverges from the spec
-    (canon.py module docstring) — route through the Arrow-vectorized
-    ``canon_url_pandas``. The split is a cheap codegen predicate +
-    unionByName: no shuffle, both branches stream."""
+    codegen path (the vast majority: zero Python string work); URLs
+    with %-escapes or duplicate query keys — where the chain diverges
+    from the spec (canon.py module docstring) — route through the
+    Arrow-vectorized ``canon_url_pandas``. The route is a per-row
+    conditional, NOT a filter+union: a union of two filters evaluates
+    the source twice (at cluster scale, a double parquet scan), so
+    instead the pandas UDF receives ``when(needs, url)`` — null for
+    conforming rows, which the kernel skips — and the final url picks
+    the UDF value only where the predicate fired. One scan, one
+    pipelined Arrow stage whose input/output columns are null-sparse."""
     from pyspark.sql.functions import pandas_udf
 
     needs = needs_general_canon_col(F.col("url"))
-    fast = frontier.filter(~needs).withColumn("url", canon_url_col(F.col("url")))
     canon_udf = pandas_udf(canon_url_pandas, "string")
-    slow = frontier.filter(needs).withColumn("url", canon_udf(F.col("url")))
-    df = fast.unionByName(slow)
+    df = frontier.withColumn(
+        "url",
+        F.when(needs, canon_udf(F.when(needs, F.col("url"))))
+        .otherwise(canon_url_col(F.col("url"))),
+    )
     df = df.withColumn("url_hash", url_hash_col(F.col("url")))
     df = df.withColumn("host", host_col(F.col("url")))
     return df.withColumn("registered_domain", registered_domain_col(F.col("host")))
