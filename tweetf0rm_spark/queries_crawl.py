@@ -652,3 +652,94 @@ def stream_lifetime_budget(spark, sf):
     return spark.read.parquet(out).select(
         "url", "url_hash", "registered_domain", "lifetime_rank"
     )
+
+
+@q(
+    "crawl_snapshot_timetravel",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       s0 AS (SELECT * FROM frontier WHERE event_id % 3 = 0),
+       s1 AS (SELECT * FROM frontier WHERE event_id % 3 <= 1)
+       SELECT 0 AS snap, registered_domain, count(*) AS n_urls
+       FROM s0 GROUP BY registered_domain
+       UNION ALL
+       SELECT 1 AS snap, registered_domain, count(*) AS n_urls
+       FROM s1 GROUP BY registered_domain""",
+)
+def crawl_snapshot_timetravel(spark, sf):
+    """Snapshot commit + time-travel scan, run for real (§2.B
+    scans/sources/sinks rows): two successive frontier versions are
+    COMMITTED through ``ParquetSnapshotStore`` (tmp-dir write →
+    ``os.replace`` atomic manifest swap), then BOTH are read back —
+    snap 0 via explicit time-travel (it is no longer ``current``),
+    snap 1 via latest — and aggregated. The oracle restates the two
+    versions as filters over the derived frontier, so the value hash
+    pins that commit→read round-trips bytes exactly and that
+    time-travel returns the historical version, not the current one."""
+    import tempfile
+
+    from .sources.snapshots import ParquetSnapshotStore
+
+    fv = frontier_view(spark, sf)
+    store = ParquetSnapshotStore(tempfile.mkdtemp(prefix="snapstore_"))
+    store.commit(0, {"frontier": fv.filter(F.col("event_id") % 3 == 0)})
+    store.commit(1, {"frontier": fv.filter(F.col("event_id") % 3 <= 1)})
+    assert store.current() == 1
+    past = store.read(spark, "frontier", snap=0)   # time-travel
+    cur = store.read(spark, "frontier")            # latest
+    tagged = past.withColumn("snap", F.lit(0)).unionByName(
+        cur.withColumn("snap", F.lit(1))
+    )
+    return tagged.groupBy("snap", "registered_domain").agg(
+        F.count("*").alias("n_urls")
+    )
+
+
+@q(
+    "crawl_bloom_dedupe",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       cand AS (SELECT url, event_id AS url_hash, registered_domain
+                FROM frontier),
+       seen AS (SELECT event_id AS url_hash FROM frontier
+                WHERE event_id % 7 = 0)
+       SELECT c.registered_domain, count(*) AS n_novel,
+              count(DISTINCT c.url_hash) AS n_novel_distinct
+       FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM seen s
+                         WHERE s.url_hash = c.url_hash)
+       GROUP BY c.registered_domain""",
+)
+def crawl_bloom_dedupe(spark, sf):
+    """The full probabilistic dedupe path (§2.B custom-agg row), with a
+    FULL value oracle: per-partition bloom blobs are built from ~80% of
+    the seen-set (``build_seen_blobs``), the remaining ~20% is folded in
+    as a wave delta (``update_seen_blobs`` — exercising the scalable
+    blob CHAIN, since the delta can overflow the newest blob), then
+    every candidate is probed co-partitioned (cogroup applyInPandas)
+    and bloom HITS are confirmed by the exact anti-join
+    (``dedupe_against_seen(exact=True)``). A bloom MISS is
+    proof-of-novelty, so the result is IDENTICAL to plain NOT EXISTS —
+    which is exactly what the oracle states. Probabilistic build +
+    probe + exact confirm is deterministic end-to-end."""
+    from .operators.seenset import (
+        build_seen_blobs,
+        dedupe_against_seen,
+        update_seen_blobs,
+    )
+
+    fv = frontier_view(spark, sf)
+    cand = fv.select(
+        "url", F.col("event_id").cast("long").alias("url_hash"),
+        "registered_domain",
+    )
+    seen = fv.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").cast("long").alias("url_hash")
+    )
+    base = seen.filter(F.col("url_hash") % 5 != 0)   # ~80% of seen
+    delta = seen.filter(F.col("url_hash") % 5 == 0)  # wave delta
+    blobs = build_seen_blobs(base, p=8, wave=0)
+    blobs = update_seen_blobs(blobs, delta, p=8, wave=1)
+    novel = dedupe_against_seen(cand, seen, blobs=blobs, p=8, exact=True)
+    return novel.groupBy("registered_domain").agg(
+        F.count("*").alias("n_novel"),
+        F.countDistinct("url_hash").alias("n_novel_distinct"),
+    )
