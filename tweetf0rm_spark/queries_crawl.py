@@ -743,3 +743,53 @@ def crawl_bloom_dedupe(spark, sf):
         F.count("*").alias("n_novel"),
         F.countDistinct("url_hash").alias("n_novel_distinct"),
     )
+
+
+@q(
+    "crawl_extract_text",
+    """SELECT event_id,
+              'Page ' || CAST(event_id AS VARCHAR) || chr(10) ||
+              'Event ' || CAST(event_id AS VARCHAR) || chr(10) ||
+              'user ' || CAST(user_id AS VARCHAR) || ' depth ' ||
+              CAST(event_id % 8 AS VARCHAR) || chr(10) ||
+              'next rel' AS text,
+              ['https://host' || CAST(user_id % 50 AS VARCHAR)
+                 || '.example/e/' || CAST(event_id + 1 AS VARCHAR),
+               '/rel/' || CAST(event_id AS VARCHAR)] AS outlinks
+       FROM events""",
+)
+def crawl_extract_text(spark, sf):
+    """The fetch-path mapInPandas extract kernel (§2.B UDF row), with a
+    FULL value oracle: html is synthesized JVM-side from ``events`` via
+    a fixed template, then the REAL single-pass extractor
+    (``extract.extract_batches`` — the same kernel ``run_wave`` uses)
+    produces text + outlinks. Because the extraction spec is pinned
+    (extract.py module docstring), the expected output is a pure string
+    function of the row, which the oracle states directly. The template
+    deliberately exercises the spec: <script> subtree dropped,
+    block-tag newlines (title/h1/p), whitespace-run collapse (the
+    double space in the <p>), inline <a> text joining one line, and
+    href capture in document order."""
+    from .extract import extract_batches
+
+    e = t(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Page "), eid,
+        F.lit("</title><script>var skip  = 1;</script></head>"
+              "<body><h1>Event "), eid,
+        F.lit("</h1><p>user "), F.col("user_id").cast("string"),
+        F.lit("  depth "), F.pmod(F.col("event_id"), F.lit(8)).cast("string"),
+        F.lit('</p><a href="https://host'),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+        F.lit(".example/e/"), (F.col("event_id") + 1).cast("string"),
+        F.lit('">next</a> <a href="/rel/'), eid,
+        F.lit('">rel</a></body></html>'),
+    )
+    docs = e.select(F.col("event_id").cast("long").alias("event_id"),
+                    html.alias("html"))
+    out = docs.mapInPandas(
+        extract_batches,
+        "event_id long, html string, text string, outlinks array<string>",
+    )
+    return out.select("event_id", "text", "outlinks")

@@ -185,13 +185,16 @@ _MINHASH_K = 8
 
 def _minhash_sql() -> str:
     mins = ",\n                ".join(
-        f"min(md5('k{i}:' || w)) AS m{i}" for i in range(_MINHASH_K)
+        f"min(substr(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS m{i}"
+        for i in range(_MINHASH_K)
     )
     return f"""WITH tok AS (
          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
          FROM documents),
+       hs AS (SELECT doc_id, md5('k0:' || w) AS h0, md5('k1:' || w) AS h1
+              FROM tok),
        mh AS (SELECT doc_id, {mins}
-              FROM tok GROUP BY doc_id),
+              FROM hs GROUP BY doc_id),
        bands AS (
          SELECT doc_id, 1 AS band_no, m0 || m1 || m2 || m3 AS sig FROM mh
          UNION ALL
@@ -203,18 +206,33 @@ def _minhash_sql() -> str:
 
 @q("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf):
-    """MinHash (k=8, string-min over salted md5) + LSH banding (2 bands
-    of 4): candidate near-dup pairs = docs sharing any band signature.
-    Shuffle profile at scale: one explode + one groupBy(doc_id) agg +
-    one equi-join on (band_no, sig) — no O(n²) comparison."""
+    """MinHash (k=8) + LSH banding (2 bands of 4): candidate near-dup
+    pairs = docs sharing any band signature. Shuffle profile at scale:
+    one explode + one groupBy(doc_id) agg + one equi-join on
+    (band_no, sig) — no O(n²) comparison.
+
+    Hash economics: the k=8 functions are the 4 disjoint 8-hex-char
+    windows of TWO salted md5 digests (md5 bits are uniformly mixed, so
+    disjoint 32-bit slices act as independent hash functions — the
+    standard few-digests-many-hashes trick), computed in a projection
+    BELOW the agg so each token row pays exactly 2 md5 calls instead of
+    8 — a 4× cut of the per-token hash CPU that dominates at corpus
+    scale (at sf0.1 the wall is instead candidate-pair materialization:
+    the synthetic docs are highly self-similar). Lexicographic min over
+    fixed-width hex == numeric min over the 32-bit slice."""
     d = t(spark, sf, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("w"),
     )
-    mh = tok.groupBy("doc_id").agg(
+    hs = tok.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("k0:"), F.col("w"))).alias("h0"),
+        F.md5(F.concat(F.lit("k1:"), F.col("w"))).alias("h1"),
+    )
+    mh = hs.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"k{i}:"), F.col("w")))).alias(f"m{i}")
+            F.min(F.substring(f"h{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"m{i}")
             for i in range(_MINHASH_K)
         ]
     )
@@ -250,7 +268,8 @@ _JACC_BANDS = 4      # 4 bands × r=2 → P(candidate | j=0.6) ≈ 0.83,
 
 def _jaccard_sql() -> str:
     mins = ",\n                ".join(
-        f"min(md5('j{i}:' || w)) AS m{i}" for i in range(_JACC_K)
+        f"min(substr(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS m{i}"
+        for i in range(_JACC_K)
     )
     band_selects = "\n         UNION ALL\n         ".join(
         f"SELECT doc_id, {b + 1} AS band_no, m{2 * b} || m{2 * b + 1} AS sig FROM mh"
@@ -264,8 +283,10 @@ def _jaccard_sql() -> str:
                        || string_split(lower(text), ' ')[i + 1])) AS shingles
          FROM documents),
        tok AS (SELECT doc_id, unnest(shingles) AS w FROM sh),
+       hs AS (SELECT doc_id, md5('j0:' || w) AS h0, md5('j1:' || w) AS h1
+              FROM tok),
        mh AS (SELECT doc_id, {mins}
-              FROM tok GROUP BY doc_id),
+              FROM hs GROUP BY doc_id),
        bands AS (
          {band_selects}),
        cand AS (
@@ -303,9 +324,14 @@ def dedup_ngram_jaccard(spark, sf):
     )
     sh = d.select("doc_id", shingles.alias("shingles"))
     tok = sh.select("doc_id", F.explode("shingles").alias("w"))
-    mh = tok.groupBy("doc_id").agg(
+    hs = tok.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("j0:"), F.col("w"))).alias("h0"),
+        F.md5(F.concat(F.lit("j1:"), F.col("w"))).alias("h1"),
+    )
+    mh = hs.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"j{i}:"), F.col("w")))).alias(f"m{i}")
+            F.min(F.substring(f"h{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"m{i}")
             for i in range(_JACC_K)
         ]
     )
