@@ -793,3 +793,110 @@ def crawl_extract_text(spark, sf):
         "event_id long, html string, text string, outlinks array<string>",
     )
     return out.select("event_id", "text", "outlinks")
+
+
+@q(
+    "stream_watermark_latedrop",
+    """WITH d AS (
+         SELECT event_id,
+                'host' || CAST(user_id % 50 AS VARCHAR) || '.example'
+                  AS registered_domain
+         FROM events)
+       SELECT TIMESTAMP '2024-01-01 00:00:00' AS win_start,
+              registered_domain, count(*) AS n_events
+       FROM d WHERE event_id < 1000 GROUP BY registered_domain
+       UNION ALL
+       SELECT TIMESTAMP '2024-01-01 00:20:00',
+              registered_domain, count(*)
+       FROM d WHERE event_id >= 1000 AND event_id <= 2000
+       GROUP BY registered_domain""",
+)
+def stream_watermark_latedrop(spark, sf):
+    """Watermark + late-data semantics (§2.B streaming rows), run for
+    real and FULLY oracled. Five pinned micro-batches (mtime order +
+    ``maxFilesPerTrigger=1``) drive a watermarked tumbling-window count:
+
+    - b0: window-0 rows (ts = base + event_id%550);
+    - b1: window-2 rows (base+1200+…) — advances max event time so the
+      watermark (5 min delay) passes window 0's end;
+    - b2: one spacer row — eviction runs one batch AFTER the watermark
+      advances (probed on this Spark build), so window 0 is emitted
+      HERE, containing only b0 rows;
+    - b3: LATE rows aimed at the already-evicted window 0 — all dropped
+      (the semantics this query pins: no duplicate window emission, no
+      resurrection of closed state);
+    - b4: far-future sentinel — final watermark flushes window 2 (the
+      sentinel's own window stays unemitted in state).
+
+    The oracle therefore states exactly two windows: window 0 = b0 rows
+    only (late rows absent), window 2 = b1 rows + the spacer. Late rows
+    (event_id 2001-2100) appear in NEITHER."""
+    import os
+    import tempfile
+
+    base = 1_704_067_200  # 2024-01-01T00:00:00Z
+    e = t(spark, sf, "events")
+    dom = F.concat(
+        F.lit("host"), F.pmod("user_id", F.lit(50)).cast("string"),
+        F.lit(".example"),
+    )
+    eid = F.col("event_id")
+    batch_no = (
+        F.when(eid < 1000, 0)
+        .when(eid < 2000, 1)
+        .when(eid == 2000, 2)
+        .when(eid <= 2100, 3)
+        .otherwise(4)
+    )
+    off = (
+        F.when(eid < 1000, F.pmod(eid, F.lit(550)))          # window 0
+        .when(eid < 2000, 1200 + F.pmod(eid, F.lit(550)))    # window 2
+        .when(eid == 2000, F.lit(1300))                      # spacer (w2)
+        .when(eid <= 2100, F.pmod(eid, F.lit(200)))          # LATE (w0)
+        .otherwise(F.lit(10_000))                            # sentinel
+    )
+    d = e.filter(eid <= 2101).select(
+        dom.alias("registered_domain"),
+        F.timestamp_seconds(F.lit(base) + off).alias("ts"),
+        batch_no.alias("batch_no"),
+    )
+    root = tempfile.mkdtemp(prefix="latedrop_")
+    fdir = os.path.join(root, "in")
+    os.makedirs(fdir)
+    for b in range(5):
+        part = os.path.join(root, f"b{b}")
+        d.filter(F.col("batch_no") == b).drop("batch_no").coalesce(
+            1
+        ).write.parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(fdir, f"batch{b}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    stream = (
+        spark.readStream.schema("registered_domain string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(fdir)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"), "registered_domain"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("win.start").alias("win_start"),
+        "registered_domain",
+        "n_events",
+    )

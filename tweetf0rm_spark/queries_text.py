@@ -964,3 +964,55 @@ def split_assign_counts(spark, sf):
     return d.groupBy("lang", split.alias("split")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+@q(
+    "text_tfidf_topk",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf
+              FROM tok GROUP BY doc_id, w),
+       dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       s AS (SELECT t.doc_id, t.w,
+                    round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
+                      AS tfidf
+             FROM tf t JOIN dfr d USING (w) CROSS JOIN n),
+       r AS (SELECT doc_id, w, tfidf,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, w) AS rk
+             FROM s)
+       SELECT doc_id, w AS term, tfidf, rk FROM r WHERE rk <= 3""",
+)
+def text_tfidf_topk(spark, sf):
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    feature-weighting primitive of a text pipeline. Shuffle profile:
+    explode → groupBy(doc_id, w) [term frequencies] → groupBy(w)
+    [document frequencies] → equi-join back on w → per-doc window
+    top-k. The corpus size is a 1-row aggregate joined in via
+    ``broadcast`` (never collected to the driver), so the whole plan
+    stays distributed; idf = ln((N+1)/(df+1)) with 6-dp rounding for
+    cross-engine float determinism."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    s = tf.join(dfr, "w").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        s.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rk")
+    )
