@@ -900,3 +900,104 @@ def stream_watermark_latedrop(spark, sf):
         "registered_domain",
         "n_events",
     )
+
+
+@q(
+    "stream_wave_schedule",
+    """WITH src AS (
+         SELECT CASE WHEN event_id < 1000 THEN event_id
+                     WHEN event_id < 1500 THEN event_id - 1000
+                     ELSE event_id - 500 END AS k,
+                CASE WHEN event_id < 1000 THEN 0 ELSE 1 END AS epoch
+         FROM events WHERE event_id < 2000),
+       c AS (SELECT k, epoch,
+                    'https://host' || CAST(k % 20 AS VARCHAR)
+                      || '.example/e/' || CAST(k AS VARCHAR) AS url,
+                    'host' || CAST(k % 20 AS VARCHAR) || '.example'
+                      AS registered_domain,
+                    CAST(k % 8 AS INTEGER) AS depth,
+                    CAST(10000 - k AS DOUBLE) AS priority
+             FROM src),
+       e0 AS (SELECT *, row_number() OVER (
+                PARTITION BY registered_domain
+                ORDER BY priority DESC) AS host_rank
+              FROM c WHERE epoch = 0),
+       emit0 AS (SELECT * FROM e0 WHERE host_rank <= 5),
+       c1 AS (SELECT * FROM c WHERE epoch = 1
+              AND url NOT IN (SELECT url FROM emit0)),
+       e1 AS (SELECT *, row_number() OVER (
+                PARTITION BY registered_domain
+                ORDER BY priority DESC) AS host_rank
+              FROM c1),
+       emit1 AS (SELECT * FROM e1 WHERE host_rank <= 5)
+       SELECT url, registered_domain, depth, priority, host_rank,
+              CAST(epoch AS INTEGER) AS epoch
+       FROM emit0
+       UNION ALL
+       SELECT url, registered_domain, depth, priority, host_rank,
+              CAST(epoch AS INTEGER) AS epoch
+       FROM emit1""",
+)
+def stream_wave_schedule(spark, sf):
+    """The streaming wave trigger (§2.B streaming surface row), run for
+    real through ``run_streaming_schedule``: readStream over a frontier
+    dir, ``foreachBatch`` applying the REAL batch operators
+    (canonicalize → dedupe → politeness), idempotent epoch-partitioned
+    sink, ``availableNow`` drain. Two pinned micro-batches
+    (mtime + ``maxFilesPerTrigger=1``); epoch-1 keys 0-499 overlap
+    epoch 0, and the per-domain priority order makes epoch 0 emit
+    exactly the keys epoch 1 would otherwise pick — so the output
+    visibly pins the CROSS-EPOCH dedupe (epoch 1's top-5 shifts to the
+    next-priority keys). Priorities are distinct per domain per epoch,
+    so ranks never reach the url_hash tie-break and the whole schedule
+    is a pure SQL function of the input."""
+    import os
+    import tempfile
+
+    from .streaming.wave_driver import run_streaming_schedule
+
+    e = t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    k = (
+        F.when(eid < 1000, eid)
+        .when(eid < 1500, eid - 1000)
+        .otherwise(eid - 500)
+    )
+    epoch_no = F.when(eid < 1000, 0).otherwise(1)
+    dom = F.concat(
+        F.lit("host"), F.pmod(k, F.lit(20)).cast("string"), F.lit(".example")
+    )
+    cand = e.select(
+        F.concat(F.lit("https://"), dom, F.lit("/e/"),
+                 k.cast("string")).alias("url"),
+        k.cast("long").alias("url_hash"),  # recomputed by canonicalized()
+        dom.alias("host"),
+        dom.alias("registered_domain"),
+        F.pmod(k, F.lit(8)).cast("int").alias("depth"),
+        (F.lit(10000) - k).cast("double").alias("priority"),
+        F.lit("QUEUED").alias("state"),
+        F.lit(0).alias("wave"),
+        epoch_no.alias("batch_no"),
+    )
+    root = tempfile.mkdtemp(prefix="stream_wave_")
+    fdir = os.path.join(root, "in")
+    os.makedirs(fdir)
+    for b in (0, 1):
+        part = os.path.join(root, f"b{b}")
+        cand.filter(F.col("batch_no") == b).drop("batch_no").coalesce(
+            1
+        ).write.parquet(part)
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(fdir, f"batch{b}.parquet")
+        os.rename(os.path.join(part, src), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    run_streaming_schedule(
+        spark, fdir, out, ckpt,
+        seen=None, politeness_budget=None, default_budget=5,
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out).select(
+        "url", "registered_domain", "depth", "priority", "host_rank",
+        F.col("epoch").cast("int").alias("epoch"),
+    )

@@ -61,6 +61,7 @@ def run_streaming_schedule(
     n_salts: int = N_SALTS,
     default_budget: int = DEFAULT_BUDGET,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuously schedule frontier micro-batches into fetch batches.
 
@@ -85,7 +86,7 @@ def run_streaming_schedule(
       micro-batch = per wave; n micro-batches may emit up to n×budget
       *distinct* urls per domain, exactly as n batch waves would.
     """
-    stream = frontier_stream(spark, frontier_dir)
+    stream = frontier_stream(spark, frontier_dir, max_files_per_trigger)
     out_ddl = FRONTIER_DDL + ", host_rank int, epoch long"
 
     def _schedule(batch_df: DataFrame, epoch_id: int) -> None:
