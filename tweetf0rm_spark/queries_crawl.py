@@ -1001,3 +1001,41 @@ def stream_wave_schedule(spark, sf):
         "url", "registered_domain", "depth", "priority", "host_rank",
         F.col("epoch").cast("int").alias("epoch"),
     )
+
+
+@q(
+    "crawl_seed_frontier",
+    """WITH m AS (SELECT DISTINCT event_id % 500 AS m FROM events)
+       SELECT 'https://host' || CAST(m % 20 AS VARCHAR)
+                || '.example/s/' || CAST(m AS VARCHAR)
+                || '?a=1&b=2' AS url,
+              'host' || CAST(m % 20 AS VARCHAR) || '.example'
+                AS registered_domain,
+              0 AS depth, CAST(2.0 AS DOUBLE) AS priority,
+              'QUEUED' AS state, 0 AS wave
+       FROM m""",
+)
+def crawl_seed_frontier(spark, sf):
+    """Seed-list source (§2.B scans/sources row), full oracle:
+    ``init_frontier`` is fed ~20 mangled variants per canonical seed
+    (uppercase scheme/host, default port, doubled slashes, trailing
+    slash, unsorted query keys, tracker param, fragment — the exact
+    non-canonical inventory ``crawl_canonicalize`` pins) and must
+    collapse them to ONE frontier row each with depth 0, the pinned
+    wave-0 priority (1·credit + 1·e⁰ + 0.1·log1p(0) = 2.0 exactly, in
+    IEEE doubles), and state QUEUED. The oracle constructs the expected
+    canonical frontier directly."""
+    from .wave import init_frontier
+
+    e = t(spark, sf, "events")
+    m = F.pmod(F.col("event_id"), F.lit(500))
+    raw = F.concat(
+        F.lit("HTTPS://HOST"), F.pmod(m, F.lit(20)).cast("string"),
+        F.lit(".Example:443/s//"), m.cast("string"),
+        F.lit("/?b=2&a=1&utm_source=x#frag"),
+    )
+    seeds = e.select(raw.alias("url"))
+    fr = init_frontier(spark, seeds)
+    return fr.select(
+        "url", "registered_domain", "depth", "priority", "state", "wave"
+    )

@@ -993,7 +993,20 @@ def text_tfidf_topk(spark, sf):
     top-k. The corpus size is a 1-row aggregate joined in via
     ``broadcast`` (never collected to the driver), so the whole plan
     stays distributed; idf = ln((N+1)/(df+1)) with 6-dp rounding for
-    cross-engine float determinism."""
+    cross-engine float determinism.
+
+    Known cost, accepted (same reasoning as operators/politeness.py):
+    ``tf`` feeds two consumers (the doc-frequency agg and the join
+    back), and Catalyst does NOT reuse the exchange between them —
+    column pruning gives the two subtrees different output schemas, so
+    they never canonicalize equal (verified with AQE off: no
+    ReusedExchange). The explode + map-side partial agg therefore runs
+    twice. The alternatives are worse at corpus scale: persisting
+    ``tf`` costs O(distinct doc×term) executor memory, and a
+    count-over-window df would put every occurrence of a stop word in
+    ONE window partition (unsplittable straggler), whereas the
+    groupBy+join shape keeps map-side combine and stays AQE
+    skew-splittable."""
     d = t(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
