@@ -649,7 +649,11 @@ def stream_lifetime_budget(spark, sf):
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(out).select(
+    # explicit schema: an all-empty drain leaves no part files to infer
+    return spark.read.schema(
+        "url string, url_hash long, registered_domain string, "
+        "n_before long, lifetime_rank long"
+    ).parquet(out).select(
         "url", "url_hash", "registered_domain", "lifetime_rank"
     )
 
@@ -895,7 +899,11 @@ def stream_watermark_latedrop(spark, sf):
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(out).select(
+    # explicit schema: a drain that closes no window emits no files
+    return spark.read.schema(
+        "win struct<start:timestamp,end:timestamp>, "
+        "registered_domain string, n_events long"
+    ).parquet(out).select(
         F.col("win.start").alias("win_start"),
         "registered_domain",
         "n_events",
