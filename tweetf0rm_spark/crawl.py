@@ -84,6 +84,108 @@ class Crawl:
         return 0
 
     # ---------------------------------------------------------- seen set
+    def _compaction_marker_path(self) -> str | None:
+        root = getattr(self.store, "root", None)
+        if root is None:
+            return None
+        import os
+
+        return os.path.join(root, "_compaction.json")
+
+    def _read_compaction(self) -> dict | None:
+        import json
+        import os
+
+        p = self._compaction_marker_path()
+        if p is None or not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def compact(self, buckets: int = 32) -> str:
+        """Compact the append-only ``seen_delta`` chain into ONE
+        bucketed+sorted table (``CLUSTERED BY url_hash``), external at
+        ``<store-root>/_seen_compacted_<snap>``.
+
+        Why: the exact-confirm and admission anti-joins must check
+        candidates against the WHOLE seen set; as plain parquet that
+        re-shuffles the corpus every wave, while a bucketed table's
+        layout metadata lets Spark plan the join with NO seen-side
+        exchange (measured 2→1 exchanges, tools/bucket_demo.py).
+        Post-compaction deltas stay small until the next compaction —
+        the lakehouse compaction pattern. Crash-safe: the marker file
+        is swapped atomically AFTER the table write; a torn run leaves
+        the previous marker pointing at the previous table."""
+        import json
+        import os
+        import uuid
+
+        snap = self.store.current()
+        seen = self._seen_upto(snap)
+        prev = self._read_compaction()
+        tbl = f"seen_compacted_{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.store.root, f"_seen_compacted_{snap}")
+        (
+            seen.write.bucketBy(buckets, "url_hash")
+            .sortBy("url_hash")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        marker = {"snap": snap, "table": tbl, "path": path,
+                  "buckets": buckets}
+        mp = self._compaction_marker_path()
+        tmp = mp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, mp)
+        if prev is not None:  # old compacted table is now unreferenced
+            import shutil
+
+            self.spark.sql(f"DROP TABLE IF EXISTS {prev['table']}")
+            shutil.rmtree(prev["path"], ignore_errors=True)
+        return tbl
+
+    def _ensure_compacted_table(self, marker: dict) -> DataFrame | None:
+        """Catalog entries don't survive a session restart (no
+        metastore in this sandbox); re-register the external bucketed
+        table from the marker so the bucket metadata — the whole point
+        — is back in the planner. Production path: Iceberg/HMS makes
+        this durable without the DDL replay."""
+        import os
+
+        if not os.path.isdir(marker["path"]):
+            return None
+        if not self.spark.catalog.tableExists(marker["table"]):
+            self.spark.sql(
+                f"CREATE TABLE {marker['table']} "
+                f"(url string, url_hash bigint) USING PARQUET "
+                f"CLUSTERED BY (url_hash) "
+                f"INTO {marker['buckets']} BUCKETS "
+                f"LOCATION '{marker['path']}'"
+            )
+        return self.spark.table(marker["table"])
+
+    def _seen_parts(self, snap: int) -> list[DataFrame]:
+        """Seen set as physical parts: [compacted bucketed table?] +
+        per-wave deltas not yet compacted. The parts cover exactly the
+        keys of ``_seen_upto(snap)``; chained anti-joins over them are
+        equivalent to one join against the union (NOT IN A∪B ≡
+        NOT IN A AND NOT IN B) but keep the compacted part's bucket
+        layout usable by the planner."""
+        marker = self._read_compaction()
+        parts: list[DataFrame] = []
+        start = 0
+        if marker is not None and marker["snap"] <= snap:
+            tbl = self._ensure_compacted_table(marker)
+            if tbl is not None:
+                parts.append(tbl.select("url", "url_hash"))
+                start = marker["snap"] + 1
+        parts.extend(
+            self.store.read(self.spark, "seen_delta", s)
+            for s in range(start, snap + 1)
+        )
+        return parts
+
     def _seen_upto(self, snap: int) -> DataFrame:
         """Full seen set = union of the append-only per-wave deltas
         (each delta is disjoint by construction — it survived that
@@ -122,6 +224,7 @@ class Crawl:
             seen_blobs=blobs if self.cfg.use_filters else None,
             p=self.cfg.p,
             persist=True,
+            seen_parts=self._seen_parts(snap),
         )
         # incremental: fold ONLY the delta into the per-partition blobs
         # (O(delta) instead of rebuilding every blob from the corpus)

@@ -44,6 +44,23 @@ def anti_join_seen(
     return candidates.join(seen_keys, on=key, how="left_anti")
 
 
+def anti_join_seen_parts(
+    candidates: DataFrame,
+    parts: list[DataFrame],
+    key: str = "url_hash",
+) -> DataFrame:
+    """Exact dedupe against a seen-set stored as several physical parts
+    (compacted bucketed table + post-compaction deltas): ``NOT IN
+    (A ∪ B ∪ …)`` ≡ a chain of anti-joins, so the parts never pay a
+    union shuffle, and each join keeps its own physical strategy — the
+    bucketed part joins WITHOUT a seen-side exchange (bucket metadata,
+    see tools/bucket_demo.py), the small recent deltas broadcast."""
+    out = candidates
+    for p in parts:
+        out = anti_join_seen(out, p, key=key)
+    return out
+
+
 def already_seen(
     candidates: DataFrame, seen: DataFrame, key: str = "url_hash"
 ) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..filters import BloomFilter, CuckooFilter
-from .dedupe import anti_join_seen
+from .dedupe import anti_join_seen, anti_join_seen_parts
 
 DEFAULT_P = 16
 BLOB_SCHEMA = (
@@ -219,7 +219,7 @@ def probe_seen_blobs(
 
 def dedupe_against_seen(
     candidates: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | list[DataFrame],
     blobs: DataFrame | None = None,
     p: int = DEFAULT_P,
     exact: bool = True,
@@ -233,9 +233,16 @@ def dedupe_against_seen(
       the tests pin.
     - ``exact=False``: cuckoo verdict decides (documented FPR; for
       at-scale modes where dropping ~fpp of novel URLs is acceptable).
-    """
+
+    ``seen`` may be a LIST of physical parts (compacted bucketed table
+    + post-compaction deltas, Crawl.compact): the confirm join then
+    chains per part, so the compacted part joins without a seen-side
+    exchange and the deltas broadcast — at 10^10 keys this is the
+    difference between shuffling the corpus every wave and shuffling
+    only the suspects."""
+    parts = seen if isinstance(seen, list) else [seen]
     if blobs is None:
-        return anti_join_seen(candidates, seen)
+        return anti_join_seen_parts(candidates, parts)
     kind = "bloom" if exact else "cuckoo"
     probed = probe_seen_blobs(candidates, blobs, p=p, kind=kind)
     if not exact:
@@ -248,5 +255,5 @@ def dedupe_against_seen(
     probed = probed.repartition(F.col("url_hash"))
     clear = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_novel = anti_join_seen(suspects, seen)
+    confirmed_novel = anti_join_seen_parts(suspects, parts)
     return clear.unionByName(confirmed_novel)

@@ -30,7 +30,7 @@ from .canon import (
     registered_domain_col, url_hash_col,
 )
 from .extract import extract_both
-from .operators.dedupe import anti_join_seen, dedupe_within
+from .operators.dedupe import anti_join_seen_parts, dedupe_within
 from .operators.politeness import DEFAULT_BUDGET, N_SALTS, apply_politeness
 from .operators.priority import priority_col
 from .operators.rank import global_row_number
@@ -147,8 +147,16 @@ def run_wave(
     seen_blobs: DataFrame | None = None,
     p: int = DEFAULT_P,
     persist: bool = False,
+    seen_parts: list[DataFrame] | None = None,
 ) -> WaveResult:
-    """Run one scheduling+fetch wave. All outputs are lazy DataFrames."""
+    """Run one scheduling+fetch wave. All outputs are lazy DataFrames.
+
+    ``seen_parts``, when given, is the seen-set as physical parts
+    (compacted bucketed table + post-compaction deltas — Crawl.compact)
+    covering the same keys as ``seen``; the dedupe joins then chain per
+    part so the big compacted part never re-shuffles (its bucket layout
+    co-locates the join). ``seen`` remains the logical union for
+    ``seen_next``."""
     cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"))
     cand = dedupe_within(cand.select(*FRONTIER_COLS))
     if persist:
@@ -159,7 +167,9 @@ def run_wave(
 
     # 1. dedupe vs seen-set: bloom pre-check (when blobs supplied) in
     #    front of the exact anti-join — result identical either way
-    novel = dedupe_against_seen(cand, seen, blobs=seen_blobs, p=p, exact=True)
+    novel = dedupe_against_seen(
+        cand, seen_parts or seen, blobs=seen_blobs, p=p, exact=True
+    )
 
     # 2. robots (broadcast per-host rule cache, zero candidate shuffle)
     ruled = robots_verdict(novel, robots_rules)
@@ -239,8 +249,11 @@ def run_wave(
     carry = deferred.select(*FRONTIER_COLS).withColumn(
         "state", F.lit("QUEUED")
     ).withColumn("wave", F.lit(wave + 1))
-    new_novel = anti_join_seen(
-        anti_join_seen(new_cand, seen_next), carry
+    # admission dedupe vs seen' — chained per part (≡ anti vs union,
+    # NOT IN (A∪B) == NOT IN A AND NOT IN B) so the compacted part's
+    # bucket layout is preserved here too
+    new_novel = anti_join_seen_parts(
+        new_cand, (seen_parts or [seen]) + [scheduled_urls, carry]
     )
     frontier_next = carry.unionByName(new_novel)
     frontier_next = dedupe_within(frontier_next)
@@ -249,10 +262,20 @@ def run_wave(
     def _cnt(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("registered_domain").agg(F.count("*").alias(name))
 
+    # "deduped" = candidates already in seen — semi-join per PART
+    # (parts are disjoint, so the union of hits counts each candidate
+    # once; no distinct on the seen side — it's a set by construction,
+    # and the old distinct was a full 10^10-key hash agg per wave).
+    # With a compacted bucketed part, this semi-join is also
+    # exchange-free on the seen side.
+    _dedup_hits = None
+    for _part in seen_parts or [seen]:
+        _h = cand.join(_part.select("url_hash"), "url_hash", "left_semi")
+        _dedup_hits = _h if _dedup_hits is None else _dedup_hits.unionByName(_h)
+
     lineage = (
         _cnt(cand, "candidates")
-        .join(_cnt(cand.join(seen.select("url_hash").distinct(), "url_hash",
-                             "left_semi"), "deduped"), "registered_domain", "full")
+        .join(_cnt(_dedup_hits, "deduped"), "registered_domain", "full")
         .join(_cnt(blocked, "blocked"), "registered_domain", "full")
         .join(_cnt(deferred, "deferred"), "registered_domain", "full")
         .join(_cnt(fetch_batch, "fetched"), "registered_domain", "full")
