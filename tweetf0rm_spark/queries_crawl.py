@@ -1047,3 +1047,46 @@ def crawl_seed_frontier(spark, sf):
     return fr.select(
         "url", "registered_domain", "depth", "priority", "state", "wave"
     )
+
+
+@q(
+    "crawl_robots_parse",
+    """WITH d AS (SELECT DISTINCT user_id % 50 AS d FROM events),
+       base AS (SELECT 'host' || CAST(d AS VARCHAR) || '.example' AS host,
+                       d
+                FROM d)
+       SELECT host, 0 AS rule_order, '*' AS agent, false AS allow,
+              '/e/1' AS path_prefix, CAST(d % 5 AS DOUBLE) AS crawl_delay
+       FROM base
+       UNION ALL
+       SELECT host, 1, '*', true, '/', CAST(d % 5 AS DOUBLE) FROM base
+       UNION ALL
+       SELECT host, 2, 'badbot', false, '/', 0.0 FROM base
+       WHERE d % 2 = 0""",
+)
+def crawl_robots_parse(spark, sf):
+    """robots.txt TEXT parsing (§2.B mapInPandas row, "also robots.txt
+    parser"), full oracle: one synthetic robots.txt body per domain —
+    even domains carry a second ``badbot`` agent group — is parsed by
+    the real ``parse_robots`` mapInPandas kernel (pinned mini-grammar,
+    operators/robots.py) into ``robots_rules`` rows; the oracle states
+    the expected rows directly. The parse is 1 file → N rules, the
+    UDTF fan-out shape, with comments and the group-level Crawl-delay
+    exercised."""
+    from .operators.robots import parse_robots
+
+    e = t(spark, sf, "events")
+    doms = e.select(F.pmod("user_id", F.lit(50)).alias("d")).distinct()
+    host = F.concat(F.lit("host"), F.col("d").cast("string"), F.lit(".example"))
+    delay = F.pmod("d", F.lit(5)).cast("string")
+    body = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /e/1\n"
+              "Allow: /\nCrawl-delay: "),
+        delay,
+        F.when(
+            F.col("d") % 2 == 0,
+            F.lit("\n\nUser-agent: badbot\nDisallow: /"),
+        ).otherwise(F.lit("")),
+    )
+    bodies = doms.select(host.alias("host"), body.alias("robots_txt"))
+    return parse_robots(bodies)
