@@ -44,6 +44,16 @@ class CrawlConfig:
     p: int = DEFAULT_P          # seen-set hash partitions (fixed at init)
     use_filters: bool = True    # bloom pre-check in front of anti-join
     collect_stats: bool = True  # per-wave count() jobs (cheap; off at scale)
+    max_retries: int = 2        # re-attempts per failed fetch (§2.A A12)
+
+
+#: retry-ledger table schema: urls whose latest attempt failed, with
+#: the number of failed attempts so far (success or exhaustion drops
+#: the row — the ledger only carries live retry candidates).
+FAILED_DDL = (
+    "url string, url_hash long, host string, registered_domain string, "
+    "depth int, priority double, retries int"
+)
 
 
 class Crawl:
@@ -75,10 +85,11 @@ class Crawl:
             "registered_domain string, candidates long, deduped long, "
             "blocked long, deferred long, fetched long, wave int",
         )
+        failed = self.spark.createDataFrame([], FAILED_DDL)
         self.store.commit(
             0,
             {"frontier": frontier, "seen_delta": seen, "seen_blobs": blobs,
-             "lineage": lineage},
+             "lineage": lineage, "failed": failed},
             meta={"wave": 0, "p": self.cfg.p},
         )
         return 0
@@ -231,6 +242,39 @@ class Crawl:
         new_blobs = update_seen_blobs(
             blobs, r.seen_delta, p=self.cfg.p, wave=wave + 1
         )
+        # retry ledger (§2.A A12): this wave's failures, with their
+        # failed-attempt count carried from the previous ledger. A url
+        # that succeeded (or was exhausted last wave and so never
+        # re-attempted) is absent from r.failed and drops off.
+        try:
+            prev_failed = self.store.read(self.spark, "failed", snap)
+        except FileNotFoundError:  # store predates the retry ledger
+            prev_failed = self.spark.createDataFrame([], FAILED_DDL)
+        failed_acc = (
+            r.failed.join(
+                prev_failed.select(
+                    "url_hash", F.col("retries").alias("_prev")
+                ),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "retries",
+                F.coalesce(F.col("_prev") + 1, F.lit(1)).cast("int"),
+            )
+            .drop("_prev")
+        )
+        # bounded re-injection: failed urls come back as RETRY rows —
+        # run_wave routes them around the seen-dedupe (they ARE seen)
+        # and through robots + politeness like everything else
+        reinject = (
+            failed_acc.filter(F.col("retries") <= self.cfg.max_retries)
+            .withColumn("state", F.lit("RETRY"))
+            .withColumn("wave", F.lit(wave + 1))
+            .select("url", "url_hash", "host", "registered_domain",
+                    "depth", "priority", "state", "wave")
+        )
+        frontier_commit = r.frontier_next.unionByName(reinject)
         # bucket the delta by the seen-set hash partition on write so a
         # chain of deltas reads back hash-organized (anti-join locality)
         delta_bucketed = r.seen_delta.repartition(
@@ -239,7 +283,8 @@ class Crawl:
         self.store.commit(
             snap + 1,
             {
-                "frontier": r.frontier_next,
+                "frontier": frontier_commit,
+                "failed": failed_acc,
                 "seen_delta": delta_bucketed,
                 "seen_blobs": new_blobs,
                 "lineage": r.lineage,

@@ -59,6 +59,7 @@ class WaveResult:
     seen_next: DataFrame        # (url, url_hash) after this wave
     seen_delta: DataFrame       # ONLY this wave's additions (append log)
     lineage: DataFrame          # per (wave, registered_domain) counters
+    failed: DataFrame | None = None  # fetch failures (null html) this wave
     persisted: tuple = ()       # frames run_wave(persist=True) cached
 
     def unpersist(self) -> None:
@@ -171,8 +172,19 @@ def run_wave(
         cand, seen_parts or seen, blobs=seen_blobs, p=p, exact=True
     )
 
+    # 1b. retries (§2.A A12): RETRY rows are prior fetch failures
+    #    re-admitted by Crawl.step under the retry budget. They are
+    #    already in the seen set (their first attempt scheduled them),
+    #    so they BYPASS the dedupe and rejoin at robots/politeness with
+    #    everything else; the marker routes them — no seen_delta
+    #    re-entry, and deferral carries them back as RETRY, not QUEUED.
+    retries = frontier.filter(F.col("state") == "RETRY").select(*FRONTIER_COLS)
+    admitted = novel.withColumn("_is_retry", F.lit(False)).unionByName(
+        retries.withColumn("_is_retry", F.lit(True))
+    )
+
     # 2. robots (broadcast per-host rule cache, zero candidate shuffle)
-    ruled = robots_verdict(novel, robots_rules)
+    ruled = robots_verdict(admitted, robots_rules)
     blocked = ruled.filter(~F.col("robots_allowed"))
     allowed = ruled.filter(F.col("robots_allowed")).drop(
         "robots_allowed", "crawl_delay"
@@ -243,12 +255,14 @@ def run_wave(
     #    the union is already a set — the full-corpus re-shuffle the old
     #    `.distinct()` paid every wave is gone. seen_delta is the
     #    append-only increment the snapshot store persists per wave.
-    scheduled_urls = fetch_batch.select("url", "url_hash")
+    #    retries are already seen — only first attempts extend the set
+    scheduled_urls = batch.filter(~F.col("_is_retry")).select("url", "url_hash")
     seen_next = seen.select("url", "url_hash").unionByName(scheduled_urls)
 
-    carry = deferred.select(*FRONTIER_COLS).withColumn(
-        "state", F.lit("QUEUED")
-    ).withColumn("wave", F.lit(wave + 1))
+    carry = deferred.withColumn(
+        "state",
+        F.when(F.col("_is_retry"), F.lit("RETRY")).otherwise(F.lit("QUEUED")),
+    ).withColumn("wave", F.lit(wave + 1)).select(*FRONTIER_COLS)
     # admission dedupe vs seen' — chained per part (≡ anti vs union,
     # NOT IN (A∪B) == NOT IN A AND NOT IN B) so the compacted part's
     # bucket layout is preserved here too
@@ -283,6 +297,13 @@ def run_wave(
         .withColumn("wave", F.lit(wave))
     )
 
+    # fetch failures (dead links / transient errors surface as null
+    # html in the emulation): Crawl.step folds these into the retry
+    # ledger and re-injects them as RETRY rows under the retry budget
+    failed = fetched.filter(F.col("text").isNull()).select(
+        "url", "url_hash", "host", "registered_domain", "depth", "priority"
+    )
+
     persisted = tuple(
         df for df in (cand, polite, fetched) if persist and df.is_cached
     ) + ((rank_cache,) if rank_cache is not None else ())
@@ -294,5 +315,6 @@ def run_wave(
         seen_next=seen_next,
         seen_delta=scheduled_urls,
         lineage=lineage,
+        failed=failed,
         persisted=persisted,
     )
