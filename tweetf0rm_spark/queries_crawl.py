@@ -1090,3 +1090,39 @@ def crawl_robots_parse(spark, sf):
     )
     bodies = doms.select(host.alias("host"), body.alias("robots_txt"))
     return parse_robots(bodies)
+
+
+@q(
+    "crawl_paginate_udtf",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')})
+       SELECT event_id, CAST(t.i AS INTEGER) AS page_no,
+              url || '?page=' || CAST(t.i AS VARCHAR) AS page_url
+       FROM frontier, unnest(range(1, 2 + event_id % 4)) AS t(i)""",
+)
+def crawl_paginate_udtf(spark, sf):
+    """Cursor pagination as frontier fan-out (§2.A A4: "multi-page =
+    multiple frontier rows"), via a REAL Spark 4 Python UDTF
+    (``@udtf(useArrow=True)`` — Arrow-batched, honoring the no-per-row-
+    Python input hint) applied with a LATERAL join: each url emits one
+    frontier row per result page (1 + event_id % 4 pages). The oracle
+    restates the fan-out as a lateral ``unnest(range(...))``. This is
+    the §2.B UDTF-row primitive itself, complementing the mapInPandas
+    1→N kernels (frame sampling, robots parsing)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="page_no int, page_url string", useArrow=True)
+    class Paginate:
+        def eval(self, url: str, n: int):
+            for i in range(1, n + 1):
+                yield i, f"{url}?page={i}"
+
+    spark.udtf.register("crawl_paginate", Paginate)
+    fv = frontier_view(spark, sf)
+    fv.select(
+        "event_id", "url",
+        (1 + F.pmod("event_id", F.lit(4))).cast("int").alias("n_pages"),
+    ).createOrReplaceTempView("_paginate_src")
+    return spark.sql(
+        "SELECT event_id, p.page_no, p.page_url "
+        "FROM _paginate_src, LATERAL crawl_paginate(url, n_pages) p"
+    )
