@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "text_quality_score",
     "text_chunk_windows",
+    "pipeline_training_data",
 ]
 
 FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", 5_000_000))

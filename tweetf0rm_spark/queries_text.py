@@ -1029,3 +1029,85 @@ def text_tfidf_topk(spark, sf):
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tfidf", "rk")
     )
+
+
+@q(
+    "pipeline_training_data",
+    """WITH q AS (
+         SELECT doc_id, lang, text,
+                string_split(lower(text), ' ') AS toks,
+                round(len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')), 6) AS diversity
+         FROM documents),
+       kept AS (SELECT * FROM q
+                WHERE diversity >= 0.5
+                  AND len(toks) BETWEEN 10 AND 100000),
+       fp AS (SELECT *,
+                     md5(array_to_string(list_sort(list_distinct(toks)),
+                         ' ')) AS fp_tokenset
+              FROM kept),
+       dedup AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY fp_tokenset ORDER BY doc_id) AS rn
+                   FROM fp) WHERE rn = 1),
+       final AS (
+         SELECT lang,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          BETWEEN '0' AND 'b' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          IN ('c', 'd') THEN 'val'
+                     ELSE 'test' END AS split,
+                len(toks) AS n_tokens,
+                1 + (len(toks) - 1) // 16 AS n_chunks
+         FROM dedup)
+       SELECT lang, split, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(sum(n_chunks) AS BIGINT) AS total_chunks
+       FROM final GROUP BY lang, split""",
+)
+def pipeline_training_data(spark, sf):
+    """END-TO-END training-data pipeline in one DataFrame DAG — the
+    composition story: quality gate (token diversity ≥ 0.5, length
+    bounds) → exact dedup (tokenset fingerprint, keeper = min doc_id)
+    → stride-16 chunk accounting → hash-stable train/val/test split →
+    per (lang, split) corpus stats. One narrow pass until the dedup
+    window (single shuffle on fp_tokenset) and the final rollup
+    (second shuffle) — the whole preprocessing chain costs exactly two
+    exchanges, and every stage is an operator this registry also
+    checks in isolation."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    raw_toks = F.split(F.col("text"), " ")
+    diversity = F.round(
+        F.size(F.array_distinct(raw_toks)) * F.lit(1.0) / F.size(raw_toks), 6
+    )
+    q_ = d.select(
+        "doc_id", "lang", toks.alias("toks"), diversity.alias("diversity")
+    )
+    kept = q_.filter(
+        (F.col("diversity") >= 0.5) & F.size("toks").between(10, 100000)
+    )
+    fp = kept.withColumn(
+        "fp_tokenset",
+        F.md5(F.array_join(F.sort_array(F.array_distinct("toks")), " ")),
+    )
+    w = W.partitionBy("fp_tokenset").orderBy("doc_id")
+    dedup = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit.between("0", "b"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    nt = F.size("toks")
+    final = dedup.select(
+        "lang",
+        split.alias("split"),
+        nt.alias("n_tokens"),
+        (1 + F.floor((nt - 1) / 16)).cast("int").alias("n_chunks"),
+    )
+    return final.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chunks").cast("long").alias("total_chunks"),
+    )
