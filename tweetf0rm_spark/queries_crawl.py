@@ -1126,3 +1126,63 @@ def crawl_paginate_udtf(spark, sf):
         "SELECT event_id, p.page_no, p.page_url "
         "FROM _paginate_src, LATERAL crawl_paginate(url, n_pages) p"
     )
+
+
+@q(
+    "crawl_salted_join",
+    """WITH f AS (
+         SELECT event_id,
+                CASE WHEN event_id % 2 = 0 THEN 'host0.example'
+                     ELSE 'host' || CAST(user_id % 50 AS VARCHAR)
+                            || '.example' END AS registered_domain,
+                value
+         FROM events),
+       dim AS (SELECT 'host' || CAST(d AS VARCHAR) || '.example' AS
+                        registered_domain,
+                      1 + d % 4 AS credit
+               FROM (SELECT unnest(range(0, 50)) AS d))
+       SELECT f.registered_domain, d.credit,
+              count(*) AS n_rows,
+              round(sum(f.value * d.credit), 4) AS weighted
+       FROM f JOIN dim d USING (registered_domain)
+       GROUP BY f.registered_domain, d.credit""",
+)
+def crawl_salted_join(spark, sf):
+    """Skew-handled join via EXPLICIT salting (§2.B skew row, the
+    BASELINE.json "salted repartitioning on registered-domain"
+    technique), full oracle: the fact side is deliberately skewed
+    (half of all rows land on host0.example — the hot-domain Zipf
+    head), so a plain shuffle join would put ~50% of the data in one
+    task. Instead the fact side gets ``salt = pmod(xxhash64(key),
+    S)`` and the dim side is replicated ×S (explode over the salt
+    range — dims are small, replication is cheap); the join key
+    becomes (domain, salt), splitting the hot domain into S tasks.
+    The result is provably identical to the unsalted join, which is
+    exactly what the oracle states. AQE's runtime skew split
+    (tools/skew_demo.py) is the optimizer-side complement; salting is
+    the structural guarantee that doesn't depend on it."""
+    S = 8
+    e = t(spark, sf, "events")
+    dom = F.when(
+        F.col("event_id") % 2 == 0, F.lit("host0.example")
+    ).otherwise(
+        F.concat(F.lit("host"), F.pmod("user_id", F.lit(50)).cast("string"),
+                 F.lit(".example"))
+    )
+    fact = e.select(
+        "event_id", dom.alias("registered_domain"), "value"
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(S)).cast("int")
+    )
+    dim = spark.range(50).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("registered_domain"),
+        (1 + F.pmod("id", F.lit(4))).cast("int").alias("credit"),
+    ).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    j = fact.join(dim, ["registered_domain", "_salt"])
+    return j.groupBy("registered_domain", "credit").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("value") * F.col("credit")), 4).alias("weighted"),
+    )
