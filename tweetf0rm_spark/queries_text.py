@@ -1111,3 +1111,77 @@ def pipeline_training_data(spark, sf):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_chunks").cast("long").alias("total_chunks"),
     )
+
+
+@q(
+    "dedup_repeated_segments",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+       s AS (SELECT doc_id, t.start,
+                    array_to_string(
+                      list_slice(words, t.start + 1, t.start + 8), ' ')
+                      AS seg
+             FROM w, unnest(range(0, greatest(len(words), 1), 8))
+                       AS t(start)),
+       d AS (SELECT md5(seg) AS h, count(DISTINCT doc_id) AS df
+             FROM s GROUP BY md5(seg)),
+       k AS (SELECT s.doc_id, s.start, s.seg
+             FROM s JOIN d ON md5(s.seg) = d.h WHERE d.df < 3),
+       ka AS (SELECT doc_id, count(*) AS n_kept,
+                     md5(array_to_string(list(seg ORDER BY start), ' '))
+                       AS cleaned_md5
+              FROM k GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_segments FROM s
+               GROUP BY doc_id)
+       SELECT tot.doc_id, tot.n_segments,
+              coalesce(ka.n_kept, 0) AS n_kept,
+              coalesce(ka.cleaned_md5, md5('')) AS cleaned_md5
+       FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""",
+)
+def dedup_repeated_segments(spark, sf):
+    """CCNet-style boilerplate removal: non-overlapping 8-token
+    segments fingerprinted with md5; a segment appearing in ≥3
+    DISTINCT documents is boilerplate (nav bars, footers, templated
+    spans in a web corpus) and is dropped from every document; the
+    cleaned document is the surviving segments re-joined in original
+    order (order-preserving recombine = sort_array over (start, seg)
+    structs — collect_list alone has no order guarantee). Shuffle
+    profile: explode → groupBy(seg hash) [df counts, map-side combine]
+    → equi-join back on the hash → groupBy(doc). All-document segment
+    frequency is exactly the kind of corpus-global statistic that
+    needs an engine, not a per-doc UDF."""
+    d = t(spark, sf, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("words") - 1, F.lit(0)), F.lit(8)
+    )
+    s = w.select(
+        "doc_id", F.explode(starts).alias("start"),
+        "words",
+    ).select(
+        "doc_id", "start",
+        F.array_join(F.slice("words", F.col("start") + 1, 8), " ").alias("seg"),
+    )
+    dfreq = s.groupBy(F.md5("seg").alias("h")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k = s.join(dfreq, F.md5(s["seg"]) == dfreq["h"]).filter(F.col("df") < 3)
+    ka = k.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("start", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    tot = s.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+    )
