@@ -1185,3 +1185,60 @@ def dedup_repeated_segments(spark, sf):
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
     )
+
+
+@q(
+    "dedup_decontaminate",
+    """WITH g AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(string_split(lower(text), ' ')) - 1,
+                                    1)),
+                  i -> array_to_string(list_slice(
+                         string_split(lower(text), ' '), i, i + 2), ' ')))
+                  AS grams
+         FROM documents),
+       bench AS (SELECT DISTINCT unnest(grams) AS g FROM g
+                 WHERE doc_id < 10),
+       hits AS (SELECT t.doc_id, count(*) AS n_hits
+                FROM (SELECT doc_id, unnest(grams) AS g FROM g
+                      WHERE doc_id >= 10) t
+                JOIN bench ON t.g = bench.g
+                GROUP BY t.doc_id)
+       SELECT doc_id, n_hits FROM hits""",
+)
+def dedup_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any 3-gram
+    with the held-out eval set (here: doc_id < 10 stands in for the
+    benchmark) are flagged with their overlap count — the standard
+    eval-leak scrub before LLM training. Shape: the benchmark n-gram
+    set is tiny → broadcast; the training side explodes its distinct
+    3-grams and inner-joins (broadcast hash, zero shuffle of the
+    corpus side beyond the final per-doc count). At 100 TB the
+    benchmark side stays a broadcast blob; only flagged docs leave
+    the scan."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") < 10)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
