@@ -1242,3 +1242,48 @@ def dedup_decontaminate(spark, sf):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@q(
+    "text_vocab_coverage",
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+       vf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vf),
+       top AS (SELECT w, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, w) AS rank
+               FROM vf
+               ORDER BY cnt DESC, w LIMIT 100)
+       SELECT rank, w AS token, cnt,
+              round(sum(cnt) OVER (ORDER BY rank) * 1.0 / n.total, 6)
+                AS cum_coverage
+       FROM top, n""",
+)
+def text_vocab_coverage(spark, sf):
+    """Vocabulary build: global top-100 tokens by frequency with the
+    cumulative fraction of ALL corpus tokens they cover (the coverage
+    curve that sizes a tokenizer vocab). Scale shape: the frequency
+    table is a map-side-combined groupBy; the top-K is a distributed
+    ``orderBy().limit(K)`` (TakeOrderedAndProject — per-partition
+    top-K then driver merge of K×partitions rows, never a global
+    sort); only the K surviving rows pass through the unpartitioned
+    running-sum window, so the partitionless window is bounded by K,
+    not by vocabulary size. Total token count joins in as a broadcast
+    1-row aggregate."""
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    vf = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vf.agg(F.sum("cnt").cast("long").alias("total"))
+    top = vf.orderBy(F.desc("cnt"), F.asc("w")).limit(100)
+    wrk = W.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = top.select(
+        F.row_number().over(wrk).alias("rank"), F.col("w").alias("token"),
+        "cnt",
+    ).crossJoin(F.broadcast(total))
+    wcum = W.orderBy("rank")
+    return ranked.select(
+        "rank", "token", "cnt",
+        F.round(
+            F.sum("cnt").over(wcum) * F.lit(1.0) / F.col("total"), 6
+        ).alias("cum_coverage"),
+    )
