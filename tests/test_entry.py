@@ -31,6 +31,42 @@ def test_registry_shape():
     assert len(set(qs) - set(oracles)) <= 3
 
 
+def test_registry_first50_covers_every_family():
+    """The driver's correctness gate records only the first 50 entries
+    of ``queries()`` in iteration order (VERDICT r2 "What's missing" #1);
+    pin that the window holds one representative of every operator
+    family so novel work always gets a driver-recorded verdict."""
+    first50 = list(entry_mod.queries())[:50]
+
+    def fam(n):
+        if n.startswith("crawl"):
+            return "crawl"
+        if n.startswith("stream"):
+            return "stream"
+        if n.startswith("media"):
+            return "media"
+        if n.startswith(("dedup", "ann", "text", "sample", "split")):
+            return "text"
+        return "rel"
+
+    counts = {}
+    for n in first50:
+        counts[fam(n)] = counts.get(fam(n), 0) + 1
+    assert counts["crawl"] >= 18
+    assert counts["stream"] >= 5
+    assert counts["text"] >= 12
+    assert counts["media"] == 4
+    assert counts["rel"] >= 4  # join/agg/window/set/scalar reps
+    # the must-show §2.C novel ops are inside the window
+    for required in (
+        "dedup_minhash_lsh", "dedup_embedding_neardup",
+        "dedup_connected_components", "ann_lsh_bucketed", "ann_ivf_topk",
+        "stream_lifetime_budget", "crawl_bloom_dedupe",
+        "crawl_extract_text", "media_frame_counts",
+    ):
+        assert required in first50, required
+
+
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 @pytest.mark.parametrize(
     "name", ["tpch_q1_pricing", "crawl_wave_schedule", "dedup_minhash_lsh"]
