@@ -22,6 +22,26 @@ def test_chain_needs_multiple_rounds(spark):
     assert comp[6] == comp[7] == 6
 
 
+def test_nonconvergence_raises_not_silent(spark):
+    # diameter 5 chain with max_iter=2: labels would be wrong — the
+    # operator must refuse (strict) or warn (strict=False), never
+    # silently return bad components
+    import warnings
+
+    import pytest
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(verts, edges, max_iter=2, strict=False)
+    assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_isolated_vertices_are_own_component(spark):
     comp = _run(spark, 5, [(1, 3)])
     assert comp == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4}

@@ -131,11 +131,20 @@ class Crawl:
         import os
         import uuid
 
+        mp = self._compaction_marker_path()
+        if mp is None:
+            raise NotImplementedError(
+                "compact() needs a filesystem-rooted SnapshotStore "
+                "(store has no .root to place the bucketed table in)"
+            )
         snap = self.store.current()
         seen = self._seen_upto(snap)
         prev = self._read_compaction()
-        tbl = f"seen_compacted_{uuid.uuid4().hex[:12]}"
-        path = os.path.join(self.store.root, f"_seen_compacted_{snap}")
+        uid = uuid.uuid4().hex[:12]
+        tbl = f"seen_compacted_{uid}"
+        # uid in the directory too: a second compact() at the same snap
+        # (no intervening wave) must not collide with the live table
+        path = os.path.join(self.store.root, f"_seen_compacted_{snap}_{uid}")
         (
             seen.write.bucketBy(buckets, "url_hash")
             .sortBy("url_hash")
@@ -144,7 +153,6 @@ class Crawl:
         )
         marker = {"snap": snap, "table": tbl, "path": path,
                   "buckets": buckets}
-        mp = self._compaction_marker_path()
         tmp = mp + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(marker, f)
@@ -250,7 +258,7 @@ class Crawl:
             prev_failed = self.store.read(self.spark, "failed", snap)
         except FileNotFoundError:  # store predates the retry ledger
             prev_failed = self.spark.createDataFrame([], FAILED_DDL)
-        failed_acc = (
+        new_failed = (
             r.failed.join(
                 prev_failed.select(
                     "url_hash", F.col("retries").alias("_prev")
@@ -264,11 +272,28 @@ class Crawl:
             )
             .drop("_prev")
         )
-        # bounded re-injection: failed urls come back as RETRY rows —
+        # A RETRY row deferred this wave (politeness / batch cap) was
+        # never attempted, so it is absent from r.failed — carry its
+        # ledger row UNCHANGED instead of dropping it, else the count
+        # resets on the next failure and a dead url on a contended
+        # domain can alternate fail/defer past max_retries forever.
+        # Deferred retries are exactly frontier'-rows with state=RETRY
+        # (wave.py step 7), so a RETRY row robots-blocked mid-flight
+        # leaves both the frontier and the ledger together.
+        deferred_retry = r.frontier_next.filter(
+            F.col("state") == "RETRY"
+        ).select("url_hash")
+        carried = prev_failed.join(deferred_retry, "url_hash", "left_semi")
+        failed_acc = new_failed.select(*prev_failed.columns).unionByName(
+            carried
+        )
+        # bounded re-injection: NEW failures come back as RETRY rows —
         # run_wave routes them around the seen-dedupe (they ARE seen)
-        # and through robots + politeness like everything else
+        # and through robots + politeness like everything else. Carried
+        # (deferred) rows already hold their RETRY slot in frontier' —
+        # re-injecting them too would duplicate the frontier row.
         reinject = (
-            failed_acc.filter(F.col("retries") <= self.cfg.max_retries)
+            new_failed.filter(F.col("retries") <= self.cfg.max_retries)
             .withColumn("state", F.lit("RETRY"))
             .withColumn("wave", F.lit(wave + 1))
             .select("url", "url_hash", "host", "registered_domain",

@@ -43,12 +43,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Return (id_col, component) with component = min reachable id.
 
     ``vertices``: one column ``id_col`` (isolated vertices allowed —
     they come back as their own component). ``edges``: undirected pair
     list (``src``,``dst``); symmetrized internally.
+
+    If the fixpoint is not reached within ``max_iter`` rounds (graph
+    diameter > max_iter, e.g. a pathological duplicate chain) the labels
+    are WRONG, not approximate — so ``strict=True`` (default) raises
+    rather than silently returning them; ``strict=False`` downgrades to
+    a warning for callers that prefer partial labels.
     """
     sym = edges.select(
         F.col(src).alias("_cc_s"), F.col(dst).alias("_cc_d")
@@ -60,6 +67,7 @@ def connected_components(
         F.col(id_col).alias("_cc_id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(
             labels, sym["_cc_s"] == labels["_cc_id"], "inner"
@@ -80,5 +88,17 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels are incorrect. "
+            "Raise max_iter or use the large-star/small-star variant."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("_cc_id").alias(id_col), "component")

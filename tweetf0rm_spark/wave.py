@@ -64,8 +64,11 @@ class WaveResult:
 
     def unpersist(self) -> None:
         """Release this wave's cached blocks once outputs are
-        materialized — callers using persist=True must call this (or
-        clearCache) per wave or cached blocks accumulate."""
+        materialized. Call this per wave REGARDLESS of the ``persist=``
+        argument: the global fetch rank always persists its range
+        shuffle internally (exchange-consistency, operators/rank.py), so
+        even ``persist=False`` waves hold MEMORY_AND_DISK blocks until
+        released (or ``spark.catalog.clearCache()``)."""
         for df in self.persisted:
             df.unpersist()
 
