@@ -60,6 +60,49 @@ def test_compaction_preserves_crawl(compacted_pair, spark):
     assert cr_b._seen_upto(snap).exceptAll(union).count() == 0
 
 
+def test_auto_compaction_bounds_parts_and_preserves_crawl(spark, corpus_dfs):
+    """Crawl.step auto-compacts when the delta chain exceeds
+    max_seen_parts: the part count stays bounded across waves and the
+    crawl is byte-identical to an uncompacted run."""
+    root = tempfile.mkdtemp(prefix="crawl_autocomp_")
+    cfg = CrawlConfig(batch_size=60, max_seen_parts=3, compact_buckets=8)
+    cr = Crawl(
+        spark, root, corpus_dfs["pages"], corpus_dfs["robots_rules"],
+        corpus_dfs["politeness_budget"], cfg,
+    )
+    cr.init(corpus_dfs["seeds"])
+    root_m = tempfile.mkdtemp(prefix="crawl_manual_")
+    cr_m = Crawl(
+        spark, root_m, corpus_dfs["pages"], corpus_dfs["robots_rules"],
+        corpus_dfs["politeness_budget"],
+        CrawlConfig(batch_size=60, max_seen_parts=0),
+    )
+    cr_m.init(corpus_dfs["seeds"])
+
+    compactions = 0
+    try:
+        for _ in range(8):
+            s = cr.step()
+            compactions += bool(s["compacted"])
+            cr_m.step()
+            snap = cr.store.current()
+            assert len(cr._seen_parts(snap)) <= cfg.max_seen_parts, snap
+        assert compactions >= 2, "auto-compaction never re-triggered"
+        snap = cr.store.current()
+        assert cr.fetch_trace(snap) == cr_m.fetch_trace(snap)
+        sa, sb = cr.seen_urls(snap), cr_m.seen_urls(snap)
+        assert sa.exceptAll(sb).count() == 0
+        assert sb.exceptAll(sa).count() == 0
+        # uncompacted control really did accumulate one part per wave
+        assert len(cr_m._seen_parts(snap)) == snap + 1
+    finally:
+        marker = cr._read_compaction()
+        if marker is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {marker['table']}")
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root_m, ignore_errors=True)
+
+
 def test_compacted_join_has_no_seen_side_exchange(compacted_pair, spark):
     """The load-bearing property: an anti-join against the compacted
     part plans WITHOUT an Exchange above the bucketed scan — only the

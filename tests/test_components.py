@@ -3,7 +3,9 @@ propagation over a pair table — the dedup-cluster assembly operator."""
 
 from pyspark.sql import functions as F
 
-from tweetf0rm_spark.operators.components import connected_components
+from tweetf0rm_spark.operators.components import (
+    connected_components, connected_components_star,
+)
 
 
 def _run(spark, n_vertices, edge_pairs):
@@ -20,6 +22,62 @@ def test_chain_needs_multiple_rounds(spark):
     comp = _run(spark, 8, [(i, i + 1) for i in range(5)] + [(6, 7)])
     assert all(comp[i] == 0 for i in range(6))
     assert comp[6] == comp[7] == 6
+
+
+def test_star_equivalent_on_random_graphs(spark):
+    """large-star/small-star ≡ hash-min on random graphs (deterministic
+    edge generation — no RNG state)."""
+    import hashlib
+
+    for seed in (1, 2, 3):
+        n = 60
+        pairs = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+                if int(h[:4], 16) % 37 == 0:  # ~2.7% edge density
+                    pairs.append((i, j))
+        verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(pairs or [(0, 0)], ["src", "dst"])
+        a = {
+            r["id"]: r["component"]
+            for r in connected_components(verts, edges).collect()
+        }
+        b = {
+            r["id"]: r["component"]
+            for r in connected_components_star(verts, edges).collect()
+        }
+        assert a == b, (seed, a, b)
+
+
+def test_star_handles_pathological_chain_in_log_rounds(spark):
+    """A 200-node chain: hash-min needs 200 rounds (raises at 25);
+    the star alternation converges within its default 40 — in practice
+    O(log n) ≈ 8 — and labels the whole chain component 0."""
+    import pytest
+
+    n = 200
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_iter=25)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components_star(verts, edges).collect()
+    }
+    assert all(comp[i] == 0 for i in range(n))
+
+
+def test_star_isolated_vertices(spark):
+    verts = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    edges = spark.createDataFrame([(1, 3)], ["src", "dst"])
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components_star(verts, edges).collect()
+    }
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4}
 
 
 def test_nonconvergence_raises_not_silent(spark):

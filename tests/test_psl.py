@@ -56,6 +56,109 @@ def test_psl_example_corpus_unchanged(spark):
     ).count() == 0
 
 
+WILDCARD_CASES = [
+    # .ck: the PSL's canonical wildcard/exception showcase
+    ("www.ck", "www.ck"),           # !www.ck: public suffix is 'ck'
+    ("foo.www.ck", "www.ck"),       # exception beats *.ck
+    ("foo.bar.ck", "foo.bar.ck"),   # *.ck → bar.ck is the public suffix
+    ("bar.ck", "bar.ck"),           # host IS a wildcard suffix → degrade
+    ("a.b.foo.bar.ck", "foo.bar.ck"),
+    ("ck", "ck"),                   # bare TLD
+]
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    df = spark.createDataFrame(
+        [(h,) for h, _ in WILDCARD_CASES], "host string"
+    )
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(df, psl=mini_psl(spark)).collect()
+    }
+    for host, want in WILDCARD_CASES:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_psl_property_vs_reference_impl(spark):
+    """Property check: the join form agrees with a direct Python
+    implementation of the publicsuffix.org algorithm on generated hosts
+    over the pinned mini-PSL (wildcard + exception rules included)."""
+    from tweetf0rm_spark.psl import MINI_PSL
+
+    rules = []
+    for raw in MINI_PSL:
+        exc = raw.startswith("!")
+        body = raw[1:] if exc else raw
+        rules.append((body.split("."), exc))
+
+    def ref_rd(host):
+        hl = host.split(".")
+
+        def matches(rl):
+            if len(rl) > len(hl):
+                return False
+            return all(
+                a == "*" or a == b for a, b in zip(rl, hl[-len(rl):])
+            )
+
+        exc_n = max(
+            (len(rl) for rl, e in rules if e and matches(rl)), default=None
+        )
+        if exc_n is not None:
+            return ".".join(hl[-exc_n:])
+        ps = max(
+            (len(rl) for rl, e in rules if not e and matches(rl)), default=1
+        )
+        if len(hl) > ps:
+            return ".".join(hl[-(ps + 1):])
+        return host  # host IS a public suffix → engine degrades to host
+
+    import itertools
+
+    label_pool = ["www", "foo", "bar", "a", "b2"]
+    tld_pool = ["com", "uk", "ck", "jp", "example", "zz"]
+    mids = ["", "co", "www", "bar", "gov"]
+    hosts = set()
+    for n1, mid, tld in itertools.product(label_pool, mids, tld_pool):
+        hosts.add(f"{n1}.{mid}.{tld}" if mid else f"{n1}.{tld}")
+    hosts |= set(tld_pool)
+    hosts = sorted(hosts)
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(df, psl=mini_psl(spark)).collect()
+    }
+    for h in hosts:
+        assert got[h] == ref_rd(h), (h, got[h], ref_rd(h))
+
+
+def test_psl_politeness_partitioning_couk(spark):
+    """Engine-level: with use_psl the politeness key separates co.uk
+    registrants (each gets its own budget); without it the whole ccTLD
+    collapses onto one 'co.uk' bucket — the real-traffic failure mode
+    the PSL wiring exists to prevent."""
+    from tweetf0rm_spark.wave import canonicalized
+
+    urls = [
+        (f"http://www.reg{i}.co.uk/page{j}",)
+        for i in range(6)
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    with_psl = canonicalized(df, psl=mini_psl(spark))
+    doms = {
+        r.registered_domain
+        for r in with_psl.select("registered_domain").distinct().collect()
+    }
+    assert doms == {f"reg{i}.co.uk" for i in range(6)}
+    without = canonicalized(df)
+    assert {
+        r.registered_domain
+        for r in without.select("registered_domain").distinct().collect()
+    } == {"co.uk"}
+
+
 def test_psl_join_is_broadcast(spark):
     df = spark.createDataFrame([("www.foo.co.uk",)], "host string")
     plan = (

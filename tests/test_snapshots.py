@@ -65,6 +65,37 @@ def _mini_crawl(spark, corpus_dfs, root, waves):
     return cr
 
 
+def test_blob_commits_are_deltas(spark, corpus_dfs):
+    """Per-wave seen_blobs commits hold only new/updated chain links —
+    O(delta) bytes — while _blobs_upto reconstructs the full table; the
+    bloom pre-check over the merged chain stays exact (the crawl's own
+    dedupe invariants are pinned elsewhere)."""
+    root = tempfile.mkdtemp(prefix="crawl_blobdelta_")
+    cr = _mini_crawl(spark, corpus_dfs, root, waves=3)
+    snap = cr.store.current()
+    assert snap >= 3
+    merged = cr._blobs_upto(snap)
+    last_delta = cr.store.read(spark, "seen_blobs", snap)
+    p = cr.cfg.p
+    # a wave's delta touches at most one updated + one appended link
+    # per (partition, kind); the merged table is the whole chain
+    assert last_delta.count() <= p * 2 * 2
+    assert merged.count() >= last_delta.count()
+    # merged chain has exactly one row per (partition, kind, link)
+    dup = (
+        merged.groupBy("partition_id", "kind", "link_id").count()
+        .filter("count > 1").count()
+    )
+    assert dup == 0
+    # and it covers every seen key with zero false negatives
+    from tweetf0rm_spark.operators.seenset import probe_seen_blobs
+
+    seen = cr._seen_upto(snap)
+    probed = probe_seen_blobs(seen, merged, p=p, kind="bloom")
+    assert probed.filter("not maybe_seen").count() == 0
+    shutil.rmtree(root)
+
+
 def test_resume_equivalence(spark, corpus_dfs):
     """Kill-after-wave-k + resume() must equal the uninterrupted run:
     frontier, seen set and fetch order all exceptAll-empty both ways."""

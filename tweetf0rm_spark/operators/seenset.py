@@ -32,8 +32,14 @@ from ..filters import BloomFilter, CuckooFilter
 from .dedupe import anti_join_seen, anti_join_seen_parts
 
 DEFAULT_P = 16
+#: ``link_id`` is the blob's stable position in its partition's
+#: scalable-filter chain: updates to the newest link re-emit the SAME
+#: link_id at a later wave, appends get max+1 — so a union of per-wave
+#: deltas reconstructs the current chain by "latest wave per
+#: (partition_id, kind, link_id)" (``merge_blob_links``).
 BLOB_SCHEMA = (
-    "partition_id int, kind string, filter binary, n_keys long, wave int"
+    "partition_id int, kind string, filter binary, n_keys long, wave int, "
+    "link_id int"
 )
 
 
@@ -67,6 +73,7 @@ def build_seen_blobs(
                 "filter": [bloom.to_bytes(), cuckoo.to_bytes()],
                 "n_keys": [len(keys), len(keys)],
                 "wave": [wave, wave],
+                "link_id": [0, 0],
             }
         )
 
@@ -80,6 +87,7 @@ def update_seen_blobs(
     p: int = DEFAULT_P,
     wave: int = 0,
     fpp: float = 0.01,
+    emit_delta: bool = False,
 ) -> DataFrame:
     """Incrementally fold a wave's NEW keys into the per-partition blobs
     — the scale fix for "rebuild every blob from the full seen set each
@@ -90,33 +98,48 @@ def update_seen_blobs(
     ≤50% projected load); otherwise append a NEW blob sized for
     max(2×delta, 2×previous) — a scalable-filter chain, ≤O(log n) blobs
     per partition, probed with OR (see ``_probe_kernel``). Only the
-    newest blob is ever deserialized; older chain links pass through
-    untouched. No false negatives in any path.
+    newest blob is ever deserialized. No false negatives in any path.
+
+    ``emit_delta=False`` returns the FULL updated blob table (older
+    chain links pass through untouched). ``emit_delta=True`` returns
+    ONLY the new/updated links — at 10^10 keys the full table is ~GBs
+    of blob bytes while the per-wave change is one link per partition,
+    so an append-only snapshot store should persist just the delta and
+    reconstruct the table with :func:`merge_blob_links` (same chain
+    identity via ``link_id``; a delta-emit ∪ merge round-trip is
+    pytest-pinned equal to the full emit).
     """
     import math
 
-    import numpy as np
-
     def _upd(dpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("partition_id", "kind", "filter", "n_keys", "wave", "link_id")
         if len(dpdf) == 0:
-            return bpdf[["partition_id", "kind", "filter", "n_keys", "wave"]]
+            # no new keys for this partition: full mode passes the
+            # chain through; delta mode has nothing to report
+            if emit_delta:
+                return pd.DataFrame({c: [] for c in cols})
+            return bpdf[list(cols)]
         pid = int(dpdf["partition_id"].iloc[0])
         keys = dpdf["url_hash"].to_numpy()
-        out = {c: [] for c in ("partition_id", "kind", "filter", "n_keys", "wave")}
+        out = {c: [] for c in cols}
 
-        def emit(kind_, blob_, n_, wave_):
+        def emit(kind_, blob_, n_, wave_, link_):
             out["partition_id"].append(pid)
             out["kind"].append(kind_)
             out["filter"].append(blob_)
             out["n_keys"].append(n_)
             out["wave"].append(wave_)
+            out["link_id"].append(link_)
 
         for kind in ("bloom", "cuckoo"):
-            rows = bpdf[bpdf["kind"] == kind].sort_values("wave")
-            # older chain links: pass through untouched
-            for _, r in rows.iloc[:-1].iterrows():
-                emit(kind, r["filter"], r["n_keys"], r["wave"])
+            rows = bpdf[bpdf["kind"] == kind].sort_values("link_id")
+            if not emit_delta:
+                # older chain links: pass through untouched
+                for _, r in rows.iloc[:-1].iterrows():
+                    emit(kind, r["filter"], r["n_keys"], r["wave"],
+                         r["link_id"])
             newest = rows.iloc[-1] if len(rows) else None
+            newest_id = int(newest["link_id"]) if newest is not None else 0
             if kind == "bloom":
                 f = (
                     BloomFilter.from_bytes(bytes(newest["filter"]))
@@ -126,14 +149,15 @@ def update_seen_blobs(
                 cap = int(f.m * math.log(2) / f.k)  # n at which FPR hits fpp
                 if f.n + len(keys) <= cap:
                     f.add(keys)
-                    emit(kind, f.to_bytes(), f.n, wave)
+                    emit(kind, f.to_bytes(), f.n, wave, newest_id)
                 else:
-                    if newest is not None:
+                    if newest is not None and not emit_delta:
                         emit(kind, newest["filter"], newest["n_keys"],
-                             newest["wave"])
+                             newest["wave"], newest_id)
                     g = BloomFilter(max(64, 2 * len(keys), 2 * cap), fpp)
                     g.add(keys)
-                    emit(kind, g.to_bytes(), g.n, wave)
+                    emit(kind, g.to_bytes(), g.n, wave,
+                         newest_id + 1 if newest is not None else 0)
             else:
                 f = (
                     CuckooFilter.from_bytes(bytes(newest["filter"]))
@@ -145,18 +169,19 @@ def update_seen_blobs(
                 if 2 * (f.n + len(keys)) <= slots:  # keep ≤50% load
                     ok = f.add(keys)
                 if ok == len(keys):
-                    emit(kind, f.to_bytes(), f.n, wave)
+                    emit(kind, f.to_bytes(), f.n, wave, newest_id)
                 else:
                     # no headroom (or rare eviction failure — rejected
                     # subset unknown): keep old blob, start a fresh one
                     # holding the WHOLE delta. Duplicate fingerprints
                     # are membership-harmless.
-                    if newest is not None:
+                    if newest is not None and not emit_delta:
                         emit(kind, newest["filter"], newest["n_keys"],
-                             newest["wave"])
+                             newest["wave"], newest_id)
                     g = CuckooFilter(max(64, 2 * len(keys), slots))
                     g.add(keys)
-                    emit(kind, g.to_bytes(), g.n, wave)
+                    emit(kind, g.to_bytes(), g.n, wave,
+                         newest_id + 1 if newest is not None else 0)
         return pd.DataFrame(out)
 
     keyed = delta.select("url_hash").withColumn("partition_id", pid_col(p=p))
@@ -164,6 +189,27 @@ def update_seen_blobs(
         keyed.groupBy("partition_id")
         .cogroup(blobs.groupBy("partition_id"))
         .applyInPandas(_upd, BLOB_SCHEMA)
+    )
+
+
+def merge_blob_links(parts: list[DataFrame]) -> DataFrame:
+    """Reconstruct the current blob table from per-wave deltas: the
+    newest version (max wave) of each chain link wins. The frame is
+    tiny — P partitions × 2 kinds × O(log n) links per delta — so the
+    window is driver-negligible at any corpus scale; the heavy bytes
+    (the blobs themselves) are never rewritten by this merge."""
+    from pyspark.sql import Window
+
+    allb = parts[0]
+    for prt in parts[1:]:
+        allb = allb.unionByName(prt)
+    w = Window.partitionBy("partition_id", "kind", "link_id").orderBy(
+        F.desc("wave")
+    )
+    return (
+        allb.withColumn("_mb_r", F.row_number().over(w))
+        .filter(F.col("_mb_r") == 1)
+        .drop("_mb_r")
     )
 
 

@@ -388,12 +388,36 @@ def agg_collect_sorted(spark, sf):
     )
 
 
-@q("agg_approx_distinct", None)  # approximate — rows-only check by design
+@q(
+    "agg_approx_distinct",
+    # The sketch value itself is engine-specific, so the hash-matchable
+    # contract is the tolerance VERDICT: Spark emits whether the HLL++
+    # estimate falls within 3·rsd of the exact distinct count; the
+    # oracle compares exact to exact, which is within tolerance by
+    # definition. A broken sketch (>6% off) flips within_tol to false
+    # and the row hash-mismatches — a real check, not a carve-out.
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS within_tol
+       FROM lineitem GROUP BY l_returnflag""",
+)
 def agg_approx_distinct(spark, sf):
+    rsd = 0.02
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(3 * rsd) * F.col("exact_parts")
+            ).alias("within_tol"),
+        )
     )
 
 

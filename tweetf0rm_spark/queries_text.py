@@ -511,51 +511,106 @@ def ann_brute_force_topk(spark, sf):
     )
 
 
-_BUCKET_SQL = "".join(
-    f"(CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END) || " for i in range(1, 6)
-) + "(CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END)"
+# Banded sign-LSH (random-hyperplane LSH with axis-aligned planes, in
+# the banding arrangement MinHash-LSH uses): band b's signature is the
+# sign pattern of dims b·R+1..b·R+R; two vectors are candidates if ANY
+# band matches. Collision prob per band is p^R with p = 1 − θ/π, so
+# overall recall = 1 − (1−p^R)^B — the r2 single 6-bit bucket (R=6,
+# B=1) measured recall 0.04 on the fixture; R=4, B=8 measures 0.70
+# top-5 / 0.73 pair recall at cos ≥ 0.35 (tests/test_ann_recall.py
+# pins floors). True near-dups (cos → 1) collide with prob → 1.
+_LSH_R, _LSH_B = 4, 8
+
+
+def _band_sig_sql(b: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN v[{b * _LSH_R + i}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(1, _LSH_R + 1)
+    )
+
+
+_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM n"
+    for b in range(_LSH_B)
+) + ")"
+
+
+def _band_cols():
+    return [
+        F.concat(
+            *[
+                F.when(F.element_at("v", b * _LSH_R + i) >= 0, "1")
+                .otherwise("0")
+                for i in range(1, _LSH_R + 1)
+            ]
+        )
+        for b in range(_LSH_B)
+    ]
+
+
+def _emb_bands(n):
+    """(vec_id, band, sig) — ONE scan, posexplode fan-out (a UNION of
+    B projections would rescan the source B times)."""
+    return n.select(
+        "vec_id", F.posexplode(F.array(*_band_cols())).alias("band", "sig")
+    )
 
 
 @q(
     "ann_lsh_bucketed",
     f"""WITH {_NORM_CTE.strip()},
-       bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
-       qv AS (SELECT * FROM bkt WHERE vec_id < 20),
-       p AS (SELECT qv.vec_id AS q_vec, c.vec_id AS neighbor,
-                    round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 6)
+       {_BANDS_CTE},
+       qb AS (SELECT * FROM bands WHERE vec_id < 20),
+       cand AS (SELECT DISTINCT qb.vec_id AS q_vec, c.vec_id AS neighbor
+                FROM qb JOIN bands c
+                  ON c.band = qb.band AND c.sig = qb.sig
+                 AND c.vec_id != qb.vec_id),
+       p AS (SELECT q_vec, neighbor,
+                    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
                       AS cos_sim
-             FROM qv JOIN bkt c
-               ON c.bucket = qv.bucket AND c.vec_id != qv.vec_id),
+             FROM cand JOIN n a ON a.vec_id = cand.q_vec
+                       JOIN n b ON b.vec_id = cand.neighbor),
        r AS (SELECT *, row_number() OVER (PARTITION BY q_vec
                        ORDER BY cos_sim DESC, neighbor) AS rnk FROM p)
        SELECT q_vec, neighbor, rnk, cos_sim FROM r WHERE rnk <= 5""",
 )
 def ann_lsh_bucketed(spark, sf):
-    """Sign-LSH bucketed ANN (the scale path): 6-bit sign bucket over
-    the leading dimensions → candidates share a bucket → equi-join
-    instead of cross-join. Recall tradeoff is the point; the oracle
-    reproduces the same bucketing so results match exactly."""
+    """Banded sign-LSH ANN (the scale path): candidates share ANY of
+    the B band signatures → per-band equi-join on (band, sig) instead
+    of cross-join, pair-distinct, exact cosine re-rank of candidates
+    only. Recall = 1 − (1−p^R)^B (see ``_LSH_R`` note) — measured 0.70
+    @top-5 on the fixture vs 0.04 for the old single bucket; the
+    brute-force query remains the recall-1.0 baseline. The oracle
+    reproduces the same banding so results match exactly."""
     n = _emb_norm(spark, sf)
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("v", i) >= 0, "1").otherwise("0")
-            for i in range(1, 7)
-        ]
-    )
-    bkt = n.withColumn("bucket", bucket)
-    qv = bkt.filter(F.col("vec_id") < 20).select(
+    bands = _emb_bands(n)
+    qb = bands.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_vec"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qb"),
+        F.col("band").alias("qband"),
+        F.col("sig").alias("qsig"),
     )
-    p = F.broadcast(qv).join(
-        bkt, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_vec"))
+    cand = (
+        F.broadcast(qb)
+        .join(
+            bands,
+            (F.col("band") == F.col("qband"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("q_vec")),
+        )
+        .select("q_vec", F.col("vec_id").alias("neighbor"))
+        .distinct()
+    )
+    a = n.select(
+        F.col("vec_id").alias("q_vec"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    p = cand.join(F.broadcast(a), "q_vec").join(
+        n, F.col("vec_id") == F.col("neighbor")
     )
     cos = F.round(_cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6)
     w = W.partitionBy("q_vec").orderBy(F.desc("cos_sim"), F.asc("neighbor"))
     return (
-        p.select("q_vec", F.col("vec_id").alias("neighbor"), cos.alias("cos_sim"))
+        p.select("q_vec", "neighbor", cos.alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("q_vec", "neighbor", "rnk", "cos_sim")
@@ -565,53 +620,62 @@ def ann_lsh_bucketed(spark, sf):
 @q(
     "dedup_embedding_neardup",
     f"""WITH {_NORM_CTE.strip()},
-       bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
-       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       {_BANDS_CTE},
+       cnd AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig
+                AND a.vec_id < b.vec_id),
+       p AS (SELECT vec_a, vec_b,
+                    round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
                       AS cos_sim
-             FROM bkt a JOIN bkt b
-               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             FROM cnd JOIN n x ON x.vec_id = cnd.vec_a
+                      JOIN n y ON y.vec_id = cnd.vec_b)
        SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
 )
 def dedup_embedding_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs, sign-LSH blocked: the
-    6-bit sign bucket (same key as ``ann_lsh_bucketed``) is the
-    equi-join key, so the plan is a shuffled hash join on ``bucket``
-    instead of the unblocked ``a.vec_id < b.vec_id`` BroadcastNestedLoop
-    cross product. Candidates verify with exact cosine ≥ threshold.
-    Recall semantics: near-dup pairs must agree on the 6 leading signs
-    (true duplicates — cos→1 — almost surely do)."""
+    """Embedding-cosine near-duplicate pairs, banded-sign-LSH blocked:
+    per-band equi-join on (band, sig) — a shuffled hash join, never the
+    unblocked ``a.vec_id < b.vec_id`` BroadcastNestedLoop cross product
+    — then pair-distinct and exact-cosine verification ≥ threshold.
+    Measured pair recall on the fixture: 0.73 at cos ≥ 0.35 (the old
+    single 6-bit bucket: 0.05); true duplicates (cos → 1) collide with
+    probability → 1 in every band."""
     return _embedding_neardup_pairs(spark, sf)
 
 
 def _embedding_neardup_pairs(spark, sf, threshold: float = 0.35):
-    """Sign-LSH-blocked near-dup pair list (vec_a < vec_b, cos ≥
+    """Banded-LSH near-dup pair list (vec_a < vec_b, cos ≥
     ``threshold``) — shared by ``dedup_embedding_neardup`` (0.35) and
     the cluster-assembly query ``dedup_connected_components`` (0.25,
     looser so components are transitive chains, not just pairs)."""
     n = _emb_norm(spark, sf)
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("v", i) >= 0, "1").otherwise("0")
-            for i in range(1, 7)
-        ]
+    bands = _emb_bands(n)
+    cnd = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
     )
-    bkt = n.withColumn("bucket", bucket)
-    a = bkt.select(
+    x = n.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "bucket",
+        F.col("nrm").alias("na"),
     )
-    b = bkt.select(
+    y = n.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nb"),
     )
     cos = F.round(_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
     return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cnd.join(x, "vec_a")
+        .join(y, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
@@ -620,11 +684,14 @@ def _embedding_neardup_pairs(spark, sf, threshold: float = 0.35):
 # --------------------------------------- dedup clusters / IVF / chunking
 
 _NEARDUP_PAIRS_CTE = f"""
-bkt AS (SELECT *, {_BUCKET_SQL} AS bucket FROM n),
-prs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bkt a JOIN bkt b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+{_BANDS_CTE},
+cnd AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+prs AS (SELECT vec_a, vec_b
+        FROM cnd JOIN n x ON x.vec_id = cnd.vec_a
+                 JOIN n y ON y.vec_id = cnd.vec_b
+        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
               >= 0.25)
 """
 
@@ -659,6 +726,39 @@ def dedup_connected_components(spark, sf):
     )
     verts = t(spark, sf, "embeddings").select("vec_id")
     return connected_components(
+        verts, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+
+
+@q(
+    "dedup_components_star",
+    f"""WITH RECURSIVE {_NORM_CTE.strip()},
+       {_NEARDUP_PAIRS_CTE.strip()},
+       e AS (SELECT vec_a AS s, vec_b AS d FROM prs
+             UNION ALL SELECT vec_b, vec_a FROM prs),
+       reach(src, dst) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s
+       )
+       SELECT src AS vec_id, min(dst) AS component FROM reach
+       GROUP BY src""",
+)
+def dedup_components_star(spark, sf):
+    """Same cluster assembly as ``dedup_connected_components`` but via
+    the large-star/small-star alternation (Kiveris et al. CC-MR) —
+    O(log n) rounds on ANY graph, so adversarial long duplicate chains
+    cannot force O(diameter) rounds the way they can with hash-min.
+    Identical per-round plan shape (join + groupBy-min); identical
+    result (one shared oracle; pairwise equivalence is also
+    property-tested in tests/test_components.py)."""
+    from .operators.components import connected_components_star
+
+    pairs = _embedding_neardup_pairs(spark, sf, threshold=0.25).select(
+        "vec_a", "vec_b"
+    )
+    verts = t(spark, sf, "embeddings").select("vec_id")
+    return connected_components_star(
         verts, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
     )
 

@@ -73,7 +73,7 @@ class WaveResult:
             df.unpersist()
 
 
-def canonicalized(frontier: DataFrame) -> DataFrame:
+def canonicalized(frontier: DataFrame, psl: DataFrame | None = None) -> DataFrame:
     """Attach canonical identity columns — split-routed, single pass.
 
     URLs inside the builtin chain's grammar take the JVM whole-stage-
@@ -86,7 +86,14 @@ def canonicalized(frontier: DataFrame) -> DataFrame:
     instead the pandas UDF receives ``when(needs, url)`` — null for
     conforming rows, which the kernel skips — and the final url picks
     the UDF value only where the predicate fired. One scan, one
-    pipelined Arrow stage whose input/output columns are null-sparse."""
+    pipelined Arrow stage whose input/output columns are null-sparse.
+
+    ``psl``: optional public-suffix table (psl.py). When given, the
+    politeness/partition key ``registered_domain`` routes through the
+    broadcast suffix joins (full PSL semantics — wildcard/exception
+    rules, ``co.uk``-style suffixes) instead of the last-two-labels
+    expression; on hosts whose TLD is absent from the table the two
+    paths agree, so ``*.example`` golden traces are unchanged."""
     from pyspark.sql.functions import pandas_udf
 
     needs = needs_general_canon_col(F.col("url"))
@@ -98,13 +105,19 @@ def canonicalized(frontier: DataFrame) -> DataFrame:
     )
     df = df.withColumn("url_hash", url_hash_col(F.col("url")))
     df = df.withColumn("host", host_col(F.col("url")))
+    if psl is not None:
+        from .psl import with_registered_domain
+
+        return with_registered_domain(df, psl=psl)
     return df.withColumn("registered_domain", registered_domain_col(F.col("host")))
 
 
-def init_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
+def init_frontier(
+    spark: SparkSession, seeds: DataFrame, psl: DataFrame | None = None
+) -> DataFrame:
     """Wave-0 frontier from a seed list (url [, seed_rank])."""
     df = seeds.select("url")
-    df = canonicalized(df)
+    df = canonicalized(df, psl=psl)
     df = dedupe_within(df, order_cols=("url",))
     return (
         df.withColumn("depth", F.lit(0))
@@ -152,6 +165,7 @@ def run_wave(
     p: int = DEFAULT_P,
     persist: bool = False,
     seen_parts: list[DataFrame] | None = None,
+    psl: DataFrame | None = None,
 ) -> WaveResult:
     """Run one scheduling+fetch wave. All outputs are lazy DataFrames.
 
@@ -161,7 +175,7 @@ def run_wave(
     part so the big compacted part never re-shuffles (its bucket layout
     co-locates the join). ``seen`` remains the logical union for
     ``seen_next``."""
-    cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"))
+    cand = canonicalized(frontier.filter(F.col("state") == "QUEUED"), psl=psl)
     cand = dedupe_within(cand.select(*FRONTIER_COLS))
     if persist:
         # canonicalize+dedupe feeds the dedupe join, lineage, and (via
@@ -242,7 +256,7 @@ def run_wave(
         )
         .filter(F.col("url").isNotNull())
     )
-    new_cand = canonicalized(links).withColumn(
+    new_cand = canonicalized(links, psl=psl).withColumn(
         "depth", (F.col("_src_depth") + 1).cast("int")
     ).drop("_src_depth")
     new_cand = new_cand.withColumn(
