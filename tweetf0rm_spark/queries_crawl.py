@@ -1186,3 +1186,50 @@ def crawl_salted_join(spark, sf):
         F.count("*").alias("n_rows"),
         F.round(F.sum(F.col("value") * F.col("credit")), 4).alias("weighted"),
     )
+
+
+@q(
+    "crawl_delay_schedule",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       delays AS (
+         SELECT 'host' || CAST(d AS VARCHAR) || '.example' AS host,
+                1.0 + (d % 5) AS delay_s
+         FROM (SELECT unnest(range(0, 50)) AS d)),
+       ranked AS (
+         SELECT f.url, f.registered_domain, delay_s,
+                row_number() OVER (PARTITION BY f.registered_domain
+                                   ORDER BY f.priority DESC, f.url) AS slot
+         FROM frontier f JOIN delays d ON d.host = f.host)
+       SELECT url, registered_domain, slot,
+              round((slot - 1) * delay_s, 1) AS fetch_at_s
+       FROM ranked WHERE slot <= 6""",
+)
+def crawl_delay_schedule(spark, sf):
+    """Crawl-delay-aware slot assignment (§2.A A5's other half): the
+    politeness top-k says WHO fetches this wave; robots ``crawl_delay``
+    says WHEN — slot k on a host fetches no earlier than
+    (k−1)·delay seconds into the wave, which is how a wave maps onto
+    wall-clock without a serial per-host loop (the reference sleeps
+    between calls; the engine emits the whole schedule as data).
+    Broadcast delay dim + per-domain window — bounded partitions, no
+    Python."""
+    fv = frontier_view(spark, sf)
+    delays = fv.sparkSession.range(50).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        (1.0 + F.pmod("id", F.lit(5))).alias("delay_s"),
+    )
+    wd = W.partitionBy("registered_domain").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    return (
+        fv.join(F.broadcast(delays), "host")
+        .withColumn("slot", F.row_number().over(wd))
+        .filter(F.col("slot") <= 6)
+        .select(
+            "url", "registered_domain", "slot",
+            F.round((F.col("slot") - 1) * F.col("delay_s"), 1).alias(
+                "fetch_at_s"
+            ),
+        )
+    )

@@ -1387,3 +1387,126 @@ def text_vocab_coverage(spark, sf):
             F.sum("cnt").over(wcum) * F.lit(1.0) / F.col("total"), 6
         ).alias("cum_coverage"),
     )
+
+
+# -------------------------------------------------- r3 pipeline additions
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1 [0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+
+@q(
+    "text_pii_scrub",
+    f"""WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id || '@site'
+                     || (doc_id % 50) || '.example or +1 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || '-0199' AS t
+         FROM documents)
+       SELECT doc_id,
+              md5(regexp_replace(
+                    regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5,
+              len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+              len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones
+       FROM aug""",
+)
+def text_pii_scrub(spark, sf):
+    """PII scrubbing — the redaction pass every shared training corpus
+    runs before release. The synthetic corpus carries no PII, so the
+    query APPENDS deterministic email/phone strings (pure function of
+    doc_id, identical in both engines) and then scrubs them — the
+    regex machinery is exercised for real (n_emails/n_phones ≥ 1 per
+    doc, md5 of the scrubbed text is the byte-level contract). Both
+    patterns stay inside the syntax Java regex and RE2 share (classes,
+    quantifiers — no backrefs/lookahead). Scale: pure JVM expressions,
+    one scan, zero shuffle."""
+    d = t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-0199"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE), F.lit("<PHONE>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+@q(
+    "text_unigram_entropy",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY ALL),
+       tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM cnt
+               GROUP BY doc_id)
+       SELECT cnt.doc_id,
+              CAST(n AS BIGINT) AS n_tokens,
+              round(-sum((c / n) * ln(c / n)), 5) AS entropy
+       FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+       GROUP BY cnt.doc_id, n""",
+)
+def text_unigram_entropy(spark, sf):
+    """Unigram (token) Shannon entropy per document — the cheap
+    perplexity proxy quality filters use (low entropy = repetitive /
+    boilerplate, suspiciously high = token soup). One explode +
+    two map-side-combined groupBys; ln is IEEE-correctly-rounded in
+    both engines and the 5-dp round absorbs summation-order ulp."""
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 5).alias("entropy"))
+        .select(
+            "doc_id", F.col("n").cast("long").alias("n_tokens"), "entropy"
+        )
+    )
+
+
+@q(
+    "text_length_outliers",
+    """SELECT doc_id, lang, n_chars, round(pr, 6) AS pct_rank
+       FROM (SELECT doc_id, lang, n_chars,
+                    percent_rank() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) AS pr
+             FROM documents)
+       WHERE pr >= 0.02 AND pr <= 0.98""",
+)
+def text_length_outliers(spark, sf):
+    """Per-language length-outlier trim — drop the shortest/longest 2%
+    per lang (truncation artifacts and concatenation blobs) before
+    training. percent_rank over (n_chars, doc_id) is a strict total
+    order so both engines rank identically; the window partitions by
+    lang (bounded partitions, no partitionless window)."""
+    d = t(spark, sf, "documents")
+    wl = W.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id", "lang", "n_chars",
+            F.percent_rank().over(wl).alias("pr"),
+        )
+        .filter((F.col("pr") >= 0.02) & (F.col("pr") <= 0.98))
+        .select(
+            "doc_id", "lang", "n_chars", F.round("pr", 6).alias("pct_rank")
+        )
+    )
