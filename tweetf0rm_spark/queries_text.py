@@ -1469,12 +1469,13 @@ def text_unigram_entropy(spark, sf):
     d = t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("double").alias("n")
-    )
+    # per-doc total via a window, not a separate agg + join-back: the
+    # window's doc_id exchange is then REUSED by the final groupBy
+    # (2 exchanges total instead of 5)
+    n = F.sum("c").over(W.partitionBy("doc_id")).cast("double")
     p = F.col("c") / F.col("n")
     return (
-        cnt.join(tot, "doc_id")
+        cnt.withColumn("n", n)
         .groupBy("doc_id", "n")
         .agg(F.round(-F.sum(p * F.log(p)), 5).alias("entropy"))
         .select(
