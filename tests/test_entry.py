@@ -68,6 +68,25 @@ def test_registry_first50_covers_every_family():
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_registry_no_complex_output(spark):
+    """Driver-harness contract (CORRECTNESS_r03 `crawl_extract_text`
+    err): the driver's canonicalizer sorts pandas cells and cannot
+    hash list/dict values — `TypeError: unhashable type: 'list'`. So
+    NO registry query may output an Array/Map/Struct column; serialize
+    (e.g. concat_ws(chr(31), arr)) instead. Schema-only: building the
+    DataFrame is cheap at sf0.001 and never collects."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex-typed registry outputs: {bad}"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 @pytest.mark.parametrize(
     "name", ["tpch_q1_pricing", "crawl_wave_schedule", "dedup_minhash_lsh"]
 )

@@ -32,10 +32,11 @@ from pyspark.sql import functions as F
 
 MEDIA_TYPES = ("image", "audio", "video")
 
-#: decode output: one feature row per media row
+#: decode output: one feature row per media row (feature is double so
+#: the fake path's int32/2^32 values are EXACT — oracle-comparable)
 FEATURE_SCHEMA = (
     "media_id long, media_type string, byte_len int, "
-    "feature array<float>, feat_dim int"
+    "feature array<double>, feat_dim int"
 )
 
 #: frame sampling output: one row per sampled frame
@@ -48,11 +49,18 @@ FEAT_DIM = 8
 
 def _fake_feature(payload: bytes, dim: int = FEAT_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: md5-expand the payload
-    into ``dim`` floats in [0, 1). Pure function of the bytes."""
-    out = np.empty(dim, dtype=np.float32)
+    into ``dim`` doubles in [0, 1). Pure function of the bytes, AND a
+    pure *SQL-expressible* function: feature[j] is the first 8 hex
+    chars of ``md5(upper(hex(payload)) || ':' || j)`` read as a 32-bit
+    int, over 2^32 — DuckDB's VARCHAR-only md5 can state the same
+    value (queries_media.py ``media_decode_features`` oracle), and an
+    int32/2^32 ratio is exact in float64, so the two engines agree
+    bit-for-bit (VERDICT r3 "Next round" #2)."""
+    hx = payload.hex().upper()
+    out = np.empty(dim, dtype=np.float64)
     for j in range(dim):
-        d = hashlib.md5(payload + bytes([j])).digest()
-        out[j] = int.from_bytes(d[:4], "big") / 2**32
+        d = hashlib.md5(f"{hx}:{j}".encode()).hexdigest()
+        out[j] = int(d[:8], 16) / 2**32
     return out
 
 

@@ -757,9 +757,10 @@ def crawl_bloom_dedupe(spark, sf):
               'user ' || CAST(user_id AS VARCHAR) || ' depth ' ||
               CAST(event_id % 8 AS VARCHAR) || chr(10) ||
               'next rel' AS text,
-              ['https://host' || CAST(user_id % 50 AS VARCHAR)
-                 || '.example/e/' || CAST(event_id + 1 AS VARCHAR),
-               '/rel/' || CAST(event_id AS VARCHAR)] AS outlinks
+              'https://host' || CAST(user_id % 50 AS VARCHAR)
+                || '.example/e/' || CAST(event_id + 1 AS VARCHAR)
+                || chr(31) || '/rel/' || CAST(event_id AS VARCHAR)
+                AS outlinks
        FROM events""",
 )
 def crawl_extract_text(spark, sf):
@@ -773,7 +774,13 @@ def crawl_extract_text(spark, sf):
     deliberately exercises the spec: <script> subtree dropped,
     block-tag newlines (title/h1/p), whitespace-run collapse (the
     double space in the <p>), inline <a> text joining one line, and
-    href capture in document order."""
+    href capture in document order.
+
+    The outlinks array is serialized to a chr(31)-delimited string in
+    BOTH engines: the driver's comparison harness sorts pandas cells
+    and cannot hash list values (CORRECTNESS_r03 err: ``unhashable
+    type: 'list'``), so no registry query may output Array/Map columns
+    (linted by tests/test_entry.py::test_registry_no_complex_output)."""
     from .extract import extract_batches
 
     e = t(spark, sf, "events")
@@ -796,7 +803,10 @@ def crawl_extract_text(spark, sf):
         extract_batches,
         "event_id long, html string, text string, outlinks array<string>",
     )
-    return out.select("event_id", "text", "outlinks")
+    return out.select(
+        "event_id", "text",
+        F.concat_ws("\x1f", "outlinks").alias("outlinks"),
+    )
 
 
 @q(

@@ -112,8 +112,34 @@ def media_frame_counts(spark, sf):
     )
 
 
-@q("media_decode_features", None)  # codec stub — rows-only by design
+# fake-decode feature term j, as SQL: first 8 hex chars of
+# md5(upper(hex(payload)) || ':' || j) read as int32, over 2^32 —
+# the exact expression _fake_feature computes (multimodal.py), so the
+# mapInPandas kernel's output has a FULL value oracle. int32/2^32 is
+# exact in float64 and the sum folds left-to-right in both engines,
+# so the doubles agree bit-for-bit before the round.
+_FEAT_TERM = (
+    "CAST(CAST('0x' || substr(md5(upper(hex(payload)) || ':{j}'), 1, 8)"
+    " AS BIGINT) AS DOUBLE) / 4294967296"
+)
+_FEAT_SUM_SQL = " + ".join(_FEAT_TERM.format(j=j) for j in range(8))
+
+
+@q(
+    "media_decode_features",
+    f"""WITH {MEDIA_CTE.strip().rstrip(')')})
+       SELECT media_id, media_type,
+              octet_length(payload) AS byte_len,
+              8 AS feat_dim,
+              round({_FEAT_SUM_SQL}, 6) AS feat_sum
+       FROM media""",
+)
 def media_decode_features(spark, sf):
+    """The decode → feature mapInPandas pipeline (§2.C media row), with
+    a full value oracle over the deterministic fake path: the feature
+    derivation is md5-over-hex-text (multimodal._fake_feature), which
+    DuckDB's VARCHAR-only md5 states directly. ``fake=False`` still
+    raises (codec honesty pinned by tests/test_multimodal.py)."""
     feats = decode_features(media_df(spark, sf), fake=True)
     return feats.select(
         "media_id",
