@@ -166,3 +166,20 @@ def test_psl_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psl_max_labels_1_no_crash(spark):
+    """ADVICE r3: exception joins only run for k>=2, so max_labels=1
+    used to call F.greatest() with zero args. With one label of
+    matching, every known-TLD host degrades to suffix-only semantics;
+    the call must simply not crash and stay deterministic."""
+    df = spark.createDataFrame(
+        [("www.foo.co.uk",), ("single",), ("host3.example",)], "host string"
+    )
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(
+            df, psl=mini_psl(spark), max_labels=1
+        ).collect()
+    }
+    assert len(got) == 3 and all(v for v in got.values())

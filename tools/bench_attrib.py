@@ -44,11 +44,20 @@ R2 = {"crawl_wave_schedule": 3.492, "crawl_politeness_topk": 1.155,
 
 
 def vmstat_steal():
+    """Locate 'id'/'st' by header name — procps-ng >= 4.0 appends a
+    'gu' (guest) column, so fixed negative indexes would report guest
+    time as steal (ADVICE r3)."""
     try:
-        out = subprocess.run(
+        lines = subprocess.run(
             ["vmstat", "1", "2"], capture_output=True, text=True, timeout=10
-        ).stdout.strip().splitlines()[-1].split()
-        return {"idle": int(out[-3]), "steal": int(out[-1])}
+        ).stdout.strip().splitlines()
+        hdr = next(
+            line.split() for line in lines
+            if "id" in line.split() and "st" in line.split()
+        )
+        data = lines[-1].split()
+        return {"idle": int(data[hdr.index("id")]),
+                "steal": int(data[hdr.index("st")])}
     except Exception:
         return {}
 

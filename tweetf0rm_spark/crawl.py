@@ -258,10 +258,30 @@ class Crawl:
             if os.path.isdir(marker["blob_path"]):
                 parts.append(self.spark.read.parquet(marker["blob_path"]))
                 start = marker["snap"] + 1
-        parts.extend(
+        raw = [
             self.store.read(self.spark, "seen_blobs", s)
             for s in range(start, snap + 1)
-        )
+        ]
+        # pre-delta stores (ADVICE r3): blobs committed before the
+        # link_id/delta format were FULL tables per wave, so the newest
+        # link_id-less part alone carries the state at its snapshot —
+        # adopt it as the chain seed (link_id by in-chain position) and
+        # drop older full tables; delta-format parts after the format
+        # change layer on top as usual.
+        legacy = [d for d in raw if "link_id" not in d.columns]
+        raw = [d for d in raw if "link_id" in d.columns]
+        if legacy:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("partition_id", "kind").orderBy(
+                "wave", "n_keys"
+            )
+            parts.append(
+                legacy[-1].withColumn(
+                    "link_id", (F.row_number().over(w) - 1).cast("int")
+                )
+            )
+        parts.extend(raw)
         return merge_blob_links(parts)
 
     def _seen_upto(self, snap: int) -> DataFrame:

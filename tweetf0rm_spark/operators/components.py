@@ -181,25 +181,22 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
 
-    def _sig(e: DataFrame):
-        row = e.agg(
-            F.count("*").alias("n"),
-            # decimal sum: long sum overflows under ANSI on big graphs
-            F.sum(F.xxhash64("_cc_u", "_cc_v").cast("decimal(38,0)")).alias(
-                "h"
-            ),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     cur, converged = sym, False
-    prev_sig = _sig(cur)
+    n_cur = cur.count()
     for _ in range(max_iter):
-        cur = _star(_star(cur, large=True), large=False)
-        sig = _sig(cur)
-        if sig == prev_sig:
+        nxt = _star(_star(cur, large=True), large=False)
+        # exact fixpoint (ADVICE r3: the old (count, hash-sum)
+        # signature could collide and silently declare convergence):
+        # both frames are distinct sets, so equality is equal
+        # cardinality + one empty one-sided difference. Frames are
+        # checkpointed and post-contraction small, so the extra
+        # per-round job is cheap.
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
             converged = True
             break
-        prev_sig = sig
+        cur, n_cur = nxt, n_nxt
     if not converged:
         msg = (
             f"connected_components_star did not reach an edge fixpoint "

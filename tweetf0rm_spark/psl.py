@@ -135,7 +135,15 @@ def with_registered_domain(
 
     # NOTE: the hit columns reference _psl_f* flags, so evaluate the
     # verdict BEFORE dropping them.
-    exc_k = exc_hits[0] if len(exc_hits) == 1 else F.greatest(*exc_hits)
+    # exception/wildcard joins only run for k >= 2, so exc_hits is
+    # empty when max_labels == 1 (ADVICE r3: greatest() with zero args
+    # crashed); no exception rule can match → null verdict.
+    if not exc_hits:
+        exc_k = F.lit(None).cast("int")
+    elif len(exc_hits) == 1:
+        exc_k = exc_hits[0]
+    else:
+        exc_k = F.greatest(*exc_hits)
     norm_k = F.coalesce(
         norm_hits[0] if len(norm_hits) == 1 else F.greatest(*norm_hits),
         F.lit(1),  # implicit '*' rule: unknown TLD is a public suffix
