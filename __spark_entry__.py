@@ -27,68 +27,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records only the FIRST 50 registry
-# entries in iteration order (verified: CORRECTNESS_r01/_r02 key sets
-# are exactly the first 50).  Order therefore matters: the window must
-# cover one representative of EVERY operator family, so the most novel
-# work (crawl waves, streaming, dedup/LSH, ANN, media) leads and the
-# generic relational rows — interchangeable evidence-wise — backfill.
-# VERDICT r2 "Next round #1" is the binding spec for this list.
+# entries in iteration order (verified: CORRECTNESS_r01/_r02/_r03 key
+# sets are exactly the first 50).  Round-4 rotation (VERDICT r3 "Next
+# round" #3): LEAD with every query that has never had a driver-green
+# row — the 18 never-recorded (CORRECTNESS_r0{1,2,3} key-set
+# complement), agg_approx_distinct (its oracle was rewritten in r3
+# AFTER its last recording), the two r3 reds now fixed
+# (crawl_extract_text ERR, media_decode_features no_oracle), and the
+# two r4 additions — then backfill with one representative per family
+# so the window still covers every operator family
+# (tests/test_entry.py pins the composition). Cumulative driver-green
+# target: all 107 registry queries.
 _PRIORITY = [
-    # -- crawl engine (13 reference behaviors §2.A + engine ops) -----
-    "crawl_wave_schedule",
-    "crawl_seen_anti_join",
-    "crawl_politeness_topk",
-    "crawl_bfs_order",
-    "crawl_canonicalize",
-    "crawl_url_parts",
-    "crawl_url_dedupe",
-    "crawl_robots_filter",
-    "crawl_robots_parse",
-    "crawl_lineage_rollup",
-    "crawl_recrawl_age",
-    "crawl_host_sorted_batches",
-    "crawl_canonicalize_udf",
-    "crawl_budget_udaf",
-    "crawl_snapshot_timetravel",
-    "crawl_bloom_dedupe",
-    "crawl_extract_text",
-    "crawl_seed_frontier",
-    "crawl_paginate_udtf",
-    "crawl_salted_join",
-    # -- structured streaming ----------------------------------------
+    # -- never driver-recorded (r2/r3 additions outside old window) ---
+    "crawl_delay_schedule",
+    "text_pii_scrub",
+    "text_unigram_entropy",
+    "text_length_outliers",
+    "dedup_components_star",
+    "pipeline_training_data",
+    "dedup_exact_groups",
+    "dedup_cluster_summary",
+    "ann_brute_force_topk",
+    "emb_norms",
+    "emb_label_stats",
+    "sample_hash_mod",
+    "text_fingerprint",
+    "text_hof_stats",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_stats_by_lang",
+    "text_token_count",
+    # -- stale / fixed evidence --------------------------------------
+    "agg_approx_distinct",      # oracle rewritten r3, never re-recorded
+    "crawl_extract_text",       # r3 ERR (array cell) — now serialized
+    "media_decode_features",    # r3 no_oracle — now fully oracled
+    # -- new in r4 -----------------------------------------------------
+    "crawl_fetch_schedule",     # engine crawl-delay → fetch_at_s
+    "crawl_host_health",        # §2.A A11 fetch-health downweight
+    # -- structured streaming (all six re-recorded) --------------------
     "stream_wave_schedule",
     "stream_watermark_latedrop",
     "stream_lifetime_budget",
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_sessionization",
-    # -- text / dedup / ANN (§2.C) -----------------------------------
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_neardup",
-    "dedup_connected_components",
-    "dedup_repeated_segments",
-    "dedup_decontaminate",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "text_tfidf_topk",
-    "text_vocab_coverage",
-    "text_langid_heuristic",
-    "text_chunk_windows",
-    "sample_stratified_topn",
-    "split_assign_counts",
-    # -- multimodal ----------------------------------------------------
+    # -- crawl flagship re-records --------------------------------------
+    "crawl_wave_schedule",
+    "crawl_seen_anti_join",
+    "crawl_politeness_topk",
+    "crawl_bloom_dedupe",
+    "crawl_salted_join",
+    "crawl_snapshot_timetravel",
+    "crawl_paginate_udtf",
+    "crawl_robots_parse",
+    "crawl_lineage_rollup",
+    # -- multimodal -----------------------------------------------------
     "media_metadata",
     "media_type_stats",
     "media_frame_counts",
-    "media_decode_features",
-    # -- one representative per REL family ----------------------------
+    # -- text / dedup / ANN flagship re-records -------------------------
+    "dedup_minhash_lsh",
+    "dedup_embedding_neardup",
+    "dedup_connected_components",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    # -- one representative per REL family ------------------------------
     "join_broadcast_dim",
     "tpch_q1_pricing",
     "window_topk_per_group",
     "set_except",
-    "string_funcs",
 ]
 
 

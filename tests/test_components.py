@@ -127,3 +127,33 @@ def test_canonical_keeper_selection(spark):
     comp = _run(spark, 6, [(0, 5), (1, 4)])
     keepers = sorted(k for k, c in comp.items() if k == c)
     assert keepers == [0, 1, 2, 3]
+
+
+def test_reliable_checkpoint_option(spark, tmp_path):
+    """reliable=True routes lineage cuts through checkpoint() against
+    the configured checkpoint dir — the cluster-durable setting
+    (executor loss after a localCheckpoint truncation kills the job at
+    scale). Same labels as the local default, and files actually land
+    in the checkpoint dir."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    verts = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], ["src", "dst"]
+    )
+    want = {r["id"]: r["component"]
+            for r in connected_components(verts, edges).collect()}
+    got = {r["id"]: r["component"]
+           for r in connected_components(verts, edges, reliable=True).collect()}
+    got_star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(
+            verts, edges, reliable=True
+        ).collect()
+    }
+    assert got == want and got_star == want
+    ckpt_files = [
+        f for _, _, fs in os.walk(str(tmp_path / "ckpt")) for f in fs
+    ]
+    assert ckpt_files, "reliable=True wrote nothing to the checkpoint dir"

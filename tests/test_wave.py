@@ -107,3 +107,39 @@ def test_frontier_next_disjoint_from_seen(two_waves):
     _, frontier, seen = two_waves
     inter = frontier.join(seen.select("url_hash"), "url_hash", "left_semi")
     assert inter.count() == 0
+
+
+def test_fetch_at_schedule(two_waves, corpus_dfs):
+    """Engine-path crawl-delay schedule (VERDICT r3 "Next round" #4):
+    every scheduled row carries the crawl_delay of its url's FIRST
+    matching robots rule, and per domain the k-th row in fetch order
+    fetches at (k-1)*delay seconds into the wave."""
+    rules = {}
+    for r in (
+        corpus_dfs["robots_rules"]
+        .filter(F.col("agent") == "*")
+        .orderBy("host", "rule_order")
+        .collect()
+    ):
+        rules.setdefault(r.host, []).append(r)
+
+    def expected_delay(url):
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        path = "/" + url.split("://", 1)[1].split("/", 1)[1] if "/" in url.split("://", 1)[1] else "/"
+        for r in rules.get(host, []):
+            if path.startswith(r.path_prefix):
+                return r.crawl_delay
+        return 0.0
+
+    results, _, _ = two_waves
+    saw_nonzero = False
+    for res in results:
+        slots = collections.defaultdict(int)
+        for row in res["batch"]:  # already ordered by fetch_order
+            want_delay = expected_delay(row.url)
+            assert row.crawl_delay == want_delay, (row.url, row.crawl_delay)
+            k = slots[row.registered_domain]
+            assert row.fetch_at_s == pytest.approx(k * want_delay), row.url
+            slots[row.registered_domain] += 1
+            saw_nonzero = saw_nonzero or want_delay > 0
+    assert saw_nonzero, "corpus exercised no nonzero crawl_delay"

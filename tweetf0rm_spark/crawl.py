@@ -34,7 +34,10 @@ from .operators.seenset import (
 from .sources.snapshots import ParquetSnapshotStore, SnapshotStore
 from .wave import empty_seen, init_frontier, run_wave
 
-FETCH_LOG_COLS = ["fetch_order", "url", "url_hash", "registered_domain", "depth"]
+FETCH_LOG_COLS = [
+    "fetch_order", "url", "url_hash", "registered_domain", "depth",
+    "crawl_delay", "fetch_at_s",
+]
 
 
 @dataclass
@@ -63,6 +66,15 @@ class CrawlConfig:
     #: (``co.uk`` registrants) needs it ON or one registrant's budget
     #: throttles a whole ccTLD.
     use_psl: bool = False
+    #: per-host fetch-health downweight (§2.A A11 analogue —
+    #: operators/health.py): multiply each domain's priority by
+    #: max(health_floor, 1 − failure-rate over the last health_waves
+    #: waves) before politeness ranking. Off by default (golden traces
+    #: pin the unweighted order); the per-wave ``health`` stats table
+    #: is committed regardless so turning it on needs no re-init.
+    use_health: bool = False
+    health_waves: int = 3
+    health_floor: float = 0.25
 
 
 #: retry-ledger table schema: urls whose latest attempt failed, with
@@ -72,6 +84,10 @@ FAILED_DDL = (
     "url string, url_hash long, host string, registered_domain string, "
     "depth int, priority double, retries int"
 )
+
+#: per-wave fetch-health counters (operators/health.py): attempts =
+#: scheduled rows, failures = null-page fetches, per domain.
+HEALTH_DDL = "registered_domain string, attempts long, failures long"
 
 
 class Crawl:
@@ -110,10 +126,11 @@ class Crawl:
             "blocked long, deferred long, fetched long, wave int",
         )
         failed = self.spark.createDataFrame([], FAILED_DDL)
+        health = self.spark.createDataFrame([], HEALTH_DDL)
         self.store.commit(
             0,
             {"frontier": frontier, "seen_delta": seen, "seen_blobs": blobs,
-             "lineage": lineage, "failed": failed},
+             "lineage": lineage, "failed": failed, "health": health},
             meta={"wave": 0, "p": self.cfg.p},
         )
         return 0
@@ -308,6 +325,22 @@ class Crawl:
         frontier = self.store.read(self.spark, "frontier", snap)
         seen = self._seen_upto(snap)
         blobs = self._blobs_upto(snap)
+        # A11 analogue: health downweight from the last K waves' stats
+        # (stores written before the health table just skip — the
+        # signal rebuilds over the next K waves).
+        health = None
+        if self.cfg.use_health and snap >= 1:
+            from .operators.health import host_health
+
+            parts = []
+            lo = max(1, snap - self.cfg.health_waves + 1)
+            for s in range(lo, snap + 1):
+                try:
+                    parts.append(self.store.read(self.spark, "health", s))
+                except FileNotFoundError:
+                    pass
+            if parts:
+                health = host_health(parts, floor=self.cfg.health_floor)
         r = run_wave(
             self.spark,
             frontier,
@@ -324,6 +357,7 @@ class Crawl:
             persist=True,
             seen_parts=self._seen_parts(snap),
             psl=self.psl,
+            host_health=health,
         )
         # incremental: fold ONLY the delta into the per-partition blobs
         # (O(delta) instead of rebuilding every blob from the corpus),
@@ -389,11 +423,14 @@ class Crawl:
         delta_bucketed = r.seen_delta.repartition(
             self.cfg.p, pid_col(p=self.cfg.p)
         )
+        from .operators.health import health_stats
+
         self.store.commit(
             snap + 1,
             {
                 "frontier": frontier_commit,
                 "failed": failed_acc,
+                "health": health_stats(r.fetch_batch, r.failed),
                 "seen_delta": delta_bucketed,
                 "seen_blobs": new_blobs,
                 "lineage": r.lineage,

@@ -1243,3 +1243,125 @@ def crawl_delay_schedule(spark, sf):
             ),
         )
     )
+
+
+@q(
+    "crawl_fetch_schedule",
+    f"""WITH {FRONTIER_CTE.strip().rstrip(')')}),
+       robots AS (
+         SELECT 'host' || CAST(d AS VARCHAR) || '.example' AS host,
+                0 AS rule_order, true AS allow, '/' AS path_prefix,
+                0.5 * (1 + d % 4) AS crawl_delay, '*' AS agent
+         FROM (SELECT unnest(range(0, 50)) AS d)),
+       verdict AS (
+         SELECT f.*, r.crawl_delay
+         FROM frontier f JOIN robots r ON r.host = f.host),
+       polite AS (
+         SELECT *, row_number() OVER (PARTITION BY registered_domain
+                                      ORDER BY priority DESC, url) AS host_rank
+         FROM verdict),
+       batch AS (
+         SELECT *, row_number() OVER (ORDER BY priority DESC, depth, url)
+                     AS fetch_order
+         FROM polite WHERE host_rank <= 5),
+       sched AS (
+         SELECT url, registered_domain, fetch_order, crawl_delay,
+                row_number() OVER (PARTITION BY registered_domain
+                                   ORDER BY fetch_order) AS slot
+         FROM batch WHERE fetch_order <= 150)
+       SELECT fetch_order, url, registered_domain,
+              round((slot - 1) * crawl_delay, 1) AS fetch_at_s
+       FROM sched""",
+)
+def crawl_fetch_schedule(spark, sf):
+    """The engine's wave step 4b (wave.py), stated as an oracled query:
+    robots_verdict carries ``crawl_delay`` to the schedule, politeness
+    top-k picks WHO, the global fetch order ranks the batch, and the
+    per-domain slot window emits WHEN — ``fetch_at_s`` =
+    (slot−1)·crawl_delay seconds into the wave. Same operator chain as
+    ``run_wave`` (robots_verdict + windows); per-domain windows stay
+    bounded by the politeness budget, so no skew at scale. Golden-level
+    evidence on the ``.example`` corpus lives in
+    tests/test_wave.py::test_fetch_at_schedule."""
+    fv = frontier_view(spark, sf)
+    robots = spark.createDataFrame(
+        [(f"host{d}.example", 0, True, "/", 0.5 * (1 + d % 4), "*")
+         for d in range(50)],
+        "host string, rule_order int, allow boolean, path_prefix string, "
+        "crawl_delay double, agent string",
+    )
+    ruled = robots_verdict(fv, robots)
+    wp = W.partitionBy("registered_domain").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    batch = (
+        ruled.filter(F.col("robots_allowed"))
+        .withColumn("host_rank", F.row_number().over(wp))
+        .filter(F.col("host_rank") <= 5)
+    )
+    wg = W.orderBy(F.desc("priority"), F.asc("depth"), F.asc("url"))
+    ordered = batch.withColumn("fetch_order", F.row_number().over(wg)).filter(
+        F.col("fetch_order") <= 150
+    )
+    ws = W.partitionBy("registered_domain").orderBy("fetch_order")
+    return ordered.select(
+        "fetch_order",
+        "url",
+        "registered_domain",
+        F.round(
+            (F.row_number().over(ws) - 1) * F.col("crawl_delay"), 1
+        ).alias("fetch_at_s"),
+    )
+
+
+@q(
+    "crawl_host_health",
+    """WITH stats AS (
+         SELECT 'host' || CAST(user_id % 50 AS VARCHAR) || '.example'
+                  AS registered_domain,
+                1 AS attempts,
+                CASE WHEN (event_id + user_id) % 7 = 0 THEN 1 ELSE 0 END
+                  AS failures
+         FROM events)
+       SELECT registered_domain,
+              CAST(sum(attempts) AS BIGINT) AS attempts,
+              CAST(sum(failures) AS BIGINT) AS failures,
+              round(greatest(0.25,
+                    1.0 - CAST(sum(failures) AS DOUBLE) / sum(attempts)), 6)
+                AS health
+       FROM stats GROUP BY registered_domain""",
+)
+def crawl_host_health(spark, sf):
+    """§2.A A11 analogue (operators/health.py) as an oracled query:
+    three synthetic waves of attempt/failure counters (events sliced by
+    event_id % 3 — each slice plays one wave's fetch batch, with
+    (event_id+user_id) % 7 rows failing) fold through the REAL
+    health_stats → host_health operator chain; the oracle restates the
+    windowed failure-rate floor-clamp in plain SQL."""
+    from .operators.health import health_stats, host_health
+
+    e = t(spark, sf, "events")
+    dom = F.concat(
+        F.lit("host"), F.pmod("user_id", F.lit(50)).cast("string"),
+        F.lit(".example"),
+    )
+    rows = e.select(
+        dom.alias("registered_domain"), "event_id", "user_id"
+    )
+    parts = []
+    for w in range(3):
+        sl = rows.filter(F.pmod("event_id", F.lit(3)) == w)
+        failed = sl.filter((F.col("event_id") + F.col("user_id")) % 7 == 0)
+        parts.append(health_stats(sl, failed))
+    hh = host_health(parts, floor=0.25)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    agg = allp.groupBy("registered_domain").agg(
+        F.sum("attempts").alias("attempts"),
+        F.sum("failures").alias("failures"),
+    )
+    return agg.join(hh, "registered_domain").select(
+        "registered_domain", "attempts", "failures",
+        F.round("health", 6).alias("health"),
+    )

@@ -166,6 +166,7 @@ def run_wave(
     persist: bool = False,
     seen_parts: list[DataFrame] | None = None,
     psl: DataFrame | None = None,
+    host_health: DataFrame | None = None,
 ) -> WaveResult:
     """Run one scheduling+fetch wave. All outputs are lazy DataFrames.
 
@@ -200,12 +201,33 @@ def run_wave(
         retries.withColumn("_is_retry", F.lit(True))
     )
 
-    # 2. robots (broadcast per-host rule cache, zero candidate shuffle)
+    # 1c. host health (§2.A A11 analogue): flapping hosts — high
+    #    failure rate over the last K waves — get their priority
+    #    downweighted BEFORE politeness ranking, so they stop absorbing
+    #    budget at full weight. Transient signal: the multiply is not
+    #    persisted, so a recovered host is back at full priority as
+    #    soon as its failures age out of the health window. Broadcast
+    #    O(#domains) table — zero candidate-side shuffle.
+    if host_health is not None:
+        admitted = (
+            admitted.join(
+                F.broadcast(host_health.select("registered_domain", "health")),
+                "registered_domain",
+                "left",
+            )
+            .withColumn(
+                "priority",
+                F.col("priority") * F.coalesce(F.col("health"), F.lit(1.0)),
+            )
+            .drop("health")
+        )
+
+    # 2. robots (broadcast per-host rule cache, zero candidate shuffle).
+    #    crawl_delay rides along to the schedule step — robots says WHO
+    #    may fetch, crawl_delay says WHEN (fetch_at_s below).
     ruled = robots_verdict(admitted, robots_rules)
     blocked = ruled.filter(~F.col("robots_allowed"))
-    allowed = ruled.filter(F.col("robots_allowed")).drop(
-        "robots_allowed", "crawl_delay"
-    )
+    allowed = ruled.filter(F.col("robots_allowed")).drop("robots_allowed")
 
     # 3. politeness: per-domain budget, salted exact two-phase top-k
     polite = apply_politeness(
@@ -234,15 +256,33 @@ def run_wave(
             over.drop("fetch_order"), allowMissingColumns=True
         )
         batch = batch.filter(F.col("fetch_order") <= batch_size)
-    fetch_batch = batch.select(
-        *FRONTIER_COLS, "fetch_order"
+    # 4b. wall-clock schedule (§2.A A5's other half — the reference
+    #    sleeps between API calls; the engine emits the schedule as
+    #    data): slot k on a domain fetches no earlier than
+    #    (k−1)·crawl_delay seconds into the wave. Slots follow the
+    #    global fetch order, so a fetch worker streaming its domain in
+    #    fetch_order reads fetch_at_s directly. The per-domain window
+    #    is bounded by the politeness budget (≤ max_per_wave rows per
+    #    domain survive), so no skew hazard at any corpus scale.
+    w_slot = Window.partitionBy("registered_domain").orderBy("fetch_order")
+    sched = batch.withColumn(
+        "fetch_at_s",
+        (
+            (F.row_number().over(w_slot) - 1)
+            * F.coalesce(F.col("crawl_delay"), F.lit(0.0))
+        ).cast("double"),
+    )
+    fetch_batch = sched.select(
+        *FRONTIER_COLS, "fetch_order", "crawl_delay", "fetch_at_s"
     ).withColumn("state", F.lit("FETCHING"))
 
     # 5. fetch emulation: html lookup in the pages corpus (left join —
     #    dead links surface as null html), then ONE Arrow crossing for
     #    extract. Scheduling columns only until here; html enters now.
     page_side = pages.select("url", "warc_ts", "html", "lang")
-    joined = fetch_batch.drop("state", "wave").join(page_side, on="url", how="left")
+    joined = fetch_batch.drop("state", "wave", "crawl_delay", "fetch_at_s").join(
+        page_side, on="url", how="left"
+    )
     fetched = joined.mapInPandas(_fetch_extract, schema=_FETCH_OUT_SCHEMA)
     if persist:
         # feeds BFS expansion (frontier') AND pages_delta — one Arrow pass
