@@ -25,10 +25,11 @@ def test_entry_returns_rows(spark):
 def test_registry_shape():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 55
+    assert len(qs) >= 107
     assert set(oracles) <= set(qs)
-    # at most a handful of rows-only entries (approximate ops)
-    assert len(set(qs) - set(oracles)) <= 3
+    # since r4 EVERY registry query has a full value oracle (the media
+    # decode stub's fake path became oracle-expressible) — keep it so
+    assert set(qs) == set(oracles)
 
 
 def test_registry_first50_covers_every_family():
