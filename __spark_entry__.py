@@ -27,76 +27,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records only the FIRST 50 registry
-# entries in iteration order (verified: CORRECTNESS_r01/_r02/_r03 key
-# sets are exactly the first 50).  Round-4 rotation (VERDICT r3 "Next
-# round" #3): LEAD with every query that has never had a driver-green
-# row — the 18 never-recorded (CORRECTNESS_r0{1,2,3} key-set
-# complement), agg_approx_distinct (its oracle was rewritten in r3
-# AFTER its last recording), the two r3 reds now fixed
-# (crawl_extract_text ERR, media_decode_features no_oracle), and the
-# two r4 additions — then backfill with one representative per family
-# so the window still covers every operator family
-# (tests/test_entry.py pins the composition). Cumulative driver-green
-# target: all 107 registry queries.
+# entries in iteration order.  After the r4 rotation every one of the
+# 107 registry queries has a driver-green record (CORRECTNESS_r01..r04
+# key-set union = full registry, r4 = 50/50 green).  Round-5 rotation:
+# refresh the STALEST evidence — the 36 queries last recorded in r2
+# and the 10 text-family queries last recorded in r3 — plus
+# crawl_fetch_schedule (its fetch_at_s semantics changed to the
+# running-sum formula this round, ADVICE r4) and one flagship per
+# remaining family for continuity (crawl wave / stream wave / media
+# decode).  The 11 r3-recorded queries left outside the window
+# (crawl_canonicalize etc.) keep their r3 driver records and their
+# golden/pytest pins.  tests/test_entry.py pins the composition.
 _PRIORITY = [
-    # -- never driver-recorded (r2/r3 additions outside old window) ---
-    "crawl_delay_schedule",
-    "text_pii_scrub",
-    "text_unigram_entropy",
-    "text_length_outliers",
-    "dedup_components_star",
-    "pipeline_training_data",
-    "dedup_exact_groups",
-    "dedup_cluster_summary",
-    "ann_brute_force_topk",
-    "emb_norms",
-    "emb_label_stats",
-    "sample_hash_mod",
-    "text_fingerprint",
-    "text_hof_stats",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_stats_by_lang",
-    "text_token_count",
-    # -- stale / fixed evidence --------------------------------------
-    "agg_approx_distinct",      # oracle rewritten r3, never re-recorded
-    "crawl_extract_text",       # r3 ERR (array cell) — now serialized
-    "media_decode_features",    # r3 no_oracle — now fully oracled
-    # -- new in r4 -----------------------------------------------------
-    "crawl_fetch_schedule",     # engine crawl-delay → fetch_at_s
-    "crawl_host_health",        # §2.A A11 fetch-health downweight
-    # -- structured streaming (all six re-recorded) --------------------
-    "stream_wave_schedule",
-    "stream_watermark_latedrop",
-    "stream_lifetime_budget",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_sessionization",
-    # -- crawl flagship re-records --------------------------------------
+    # -- last driver-recorded in r2 (36: the stalest evidence) ---------
+    "scan_project_filter",
+    "filter_in_like_null",
+    "case_when",
+    "join_inner_agg",
+    "join_left_nulls",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_range_bucket",
+    "join_asof",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_sorted",
+    "agg_pivot",
+    "agg_percentile",
+    "window_lag_gap",
+    "window_running_sum",
+    "window_ntile",
+    "window_percent_first_last",
+    "topk_global",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "string_funcs2",
+    "datetime_funcs",
+    "math_funcs",
+    "json_funcs",
+    "json_struct_funcs",
+    "hash_funcs",
+    "array_funcs",
+    "array_explode_wordcount",
+    "array_posexplode_zip",
+    "map_funcs",
+    "binary_funcs",
+    # -- last driver-recorded in r3, text family (10) -------------------
+    "text_langid_heuristic",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_chunk_windows",
+    "sample_stratified_topn",
+    "split_assign_counts",
+    "text_tfidf_topk",
+    "dedup_repeated_segments",
+    "dedup_decontaminate",
+    "text_vocab_coverage",
+    # -- changed this round (running-sum fetch_at_s) ---------------------
+    "crawl_fetch_schedule",
+    # -- family flagships for per-round continuity -----------------------
     "crawl_wave_schedule",
-    "crawl_seen_anti_join",
-    "crawl_politeness_topk",
-    "crawl_bloom_dedupe",
-    "crawl_salted_join",
-    "crawl_snapshot_timetravel",
-    "crawl_paginate_udtf",
-    "crawl_robots_parse",
-    "crawl_lineage_rollup",
-    # -- multimodal -----------------------------------------------------
-    "media_metadata",
-    "media_type_stats",
-    "media_frame_counts",
-    # -- text / dedup / ANN flagship re-records -------------------------
-    "dedup_minhash_lsh",
-    "dedup_embedding_neardup",
-    "dedup_connected_components",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    # -- one representative per REL family ------------------------------
-    "join_broadcast_dim",
-    "tpch_q1_pricing",
-    "window_topk_per_group",
-    "set_except",
+    "stream_wave_schedule",
+    "media_decode_features",
 ]
 
 

@@ -78,11 +78,12 @@ def frontier_bench(spark, n_rows: int) -> dict:
     batch = polite.filter(F.col("within_budget")).select(
         "url", "url_hash", "registered_domain", "depth", "priority", "host_rank"
     )
-    # warm-up (JIT/codegen) then best-of-2 — wall time on a shared box
-    # is noisy, and min-of-repeats is the standard estimator for it
+    # warm-up (JIT/codegen) then best-of-3 — wall time on a shared box
+    # is noisy (CPU-steal storms recorded in BENCH.md round-3/4), and
+    # min-of-repeats is the standard estimator for it
     _run_to_noop(batch)
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _run_to_noop(batch)
         walls.append(time.time() - t0)
@@ -149,9 +150,15 @@ def main() -> None:
     for name in HEADLINE:
         df = reg[name](spark, sf_dir)
         _run_to_noop(df)  # warm-up: parquet footer cache, codegen compile
-        t0 = time.time()
-        _run_to_noop(df)
-        per_query[name] = round(time.time() - t0, 3)
+        # min-of-2 timed reps, same estimator as the frontier probe —
+        # single-rep headline times flapped round-over-round on this
+        # shared host (BENCH.md round-3/round-4 attribution sections)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            _run_to_noop(df)
+            walls.append(time.time() - t0)
+        per_query[name] = round(min(walls), 3)
 
     fr = frontier_bench(spark, FRONTIER_ROWS)
     ex = extract_bench(spark, int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES",

@@ -34,10 +34,13 @@ def test_registry_shape():
 
 def test_registry_first50_covers_every_family():
     """The driver's correctness gate records only the first 50 entries
-    of ``queries()`` in iteration order; pin the r4 rotation (VERDICT
-    r3 "Next round" #3): every query that never had a driver-green row
-    LEADS the window, and the window still holds one representative of
-    every operator family."""
+    of ``queries()`` in iteration order; pin the r5 rotation: with all
+    107 queries cumulatively driver-green after r4, the window now
+    refreshes the STALEST records (the 36 last recorded in r2 + the 10
+    text-family queries last recorded in r3), plus the query whose
+    semantics changed this round (crawl_fetch_schedule → running-sum
+    fetch_at_s) and one flagship per remaining family for per-round
+    continuity."""
     first50 = list(entry_mod.queries())[:50]
 
     def fam(n):
@@ -54,32 +57,22 @@ def test_registry_first50_covers_every_family():
     counts = {}
     for n in first50:
         counts[fam(n)] = counts.get(fam(n), 0) + 1
-    assert counts["crawl"] >= 12
-    assert counts["stream"] >= 5
-    assert counts["text"] >= 12
-    assert counts["media"] == 4
-    assert counts["rel"] >= 4  # join/agg/window/set reps
-    # never-driver-recorded + fixed-red + new-in-r4 queries must all
-    # sit inside the window so CORRECTNESS_r04 finally records them
+    assert counts["rel"] >= 30   # the r2-stale refresh block
+    assert counts["text"] >= 10  # the r3-stale text refresh block
+    assert counts["crawl"] >= 2
+    assert counts["stream"] >= 1
+    assert counts["media"] >= 1
     for required in (
-        # never recorded in r1/r2/r3
-        "crawl_delay_schedule", "text_pii_scrub", "text_unigram_entropy",
-        "text_length_outliers", "dedup_components_star",
-        "pipeline_training_data", "dedup_exact_groups",
-        "dedup_cluster_summary", "ann_brute_force_topk", "emb_norms",
-        "emb_label_stats", "sample_hash_mod", "text_fingerprint",
-        "text_hof_stats", "text_quality_score", "text_repetition_ratio",
-        "text_stats_by_lang", "text_token_count",
-        # stale/red evidence refreshed
-        "agg_approx_distinct", "crawl_extract_text",
+        # changed this round — must be re-recorded under new semantics
+        "crawl_fetch_schedule",
+        # family flagships for continuity
+        "crawl_wave_schedule", "stream_wave_schedule",
         "media_decode_features",
-        # new in r4
-        "crawl_fetch_schedule", "crawl_host_health",
-        # novel-op flagships stay pinned
-        "dedup_minhash_lsh", "dedup_embedding_neardup",
-        "dedup_connected_components", "ann_lsh_bucketed", "ann_ivf_topk",
-        "stream_lifetime_budget", "crawl_bloom_dedupe",
-        "media_frame_counts",
+        # spot-pins of the stale-refresh blocks (r2 / r3 recorded last)
+        "scan_project_filter", "join_asof", "agg_grouping_sets",
+        "window_percent_first_last", "set_union_distinct",
+        "binary_funcs", "text_langid_heuristic", "dedup_simhash",
+        "text_vocab_coverage", "dedup_decontaminate",
     ):
         assert required in first50, required
 
@@ -90,12 +83,19 @@ def test_registry_no_complex_output(spark):
     err): the driver's canonicalizer sorts pandas cells and cannot
     hash list/dict values — `TypeError: unhashable type: 'list'`. So
     NO registry query may output an Array/Map/Struct column; serialize
-    (e.g. concat_ws(chr(31), arr)) instead. Schema-only: building the
-    DataFrame is cheap at sf0.001 and never collects."""
+    (e.g. concat_ws(chr(31), arr)) instead. Schema-only for the batch
+    families (building the DataFrame is cheap at sf0.001 and never
+    collects); the stream_* entries are SKIPPED — their query functions
+    run the stream to produce the result frame, so even `.schema` costs
+    six streaming jobs (ADVICE r4; same exclusion as test_plans.py).
+    Their flat output schemas are pinned by the driver's oracle gate,
+    which hashes every stream query's values each round."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []
     for name, fn in entry_mod.queries().items():
+        if name.startswith("stream_"):
+            continue
         schema = fn(spark, SF).schema
         for f in schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):

@@ -86,7 +86,13 @@ def _drive(spark, flapping_corpus, use_health):
         r.registered_domain: (r.attempts, r.failures)
         for r in crawl.store.read(spark, "health", 1).collect()
     }
-    return log, health
+    persisted_priority = {
+        r.registered_domain: r.priority
+        for r in crawl.store.read(spark, "failed", 2).collect()
+    }
+    for r in crawl.store.read(spark, "frontier", 2).collect():
+        persisted_priority.setdefault(r.registered_domain, r.priority)
+    return log, health, persisted_priority
 
 
 def test_flapping_host_priority_decays(spark, flapping_corpus):
@@ -95,10 +101,19 @@ def test_flapping_host_priority_decays(spark, flapping_corpus):
     rate and falls BEHIND a.example's depth-1 candidate (1.368); with
     health OFF it stays in front. The health table records the wave-0
     counters either way."""
-    log_on, health_on = _drive(spark, flapping_corpus, use_health=True)
-    log_off, health_off = _drive(spark, flapping_corpus, use_health=False)
+    log_on, health_on, prio_on = _drive(spark, flapping_corpus, use_health=True)
+    log_off, health_off, prio_off = _drive(
+        spark, flapping_corpus, use_health=False
+    )
     for health in (health_on, health_off):
         assert health["a.example"] == (1, 0)
         assert health["b.example"] == (1, 1)
     assert [r.registered_domain for r in log_on] == ["a.example", "b.example"]
     assert [r.registered_domain for r in log_off] == ["b.example", "a.example"]
+    # ADVICE r4 (non-compounding): the downweight is ranking-only — the
+    # retry ledger / frontier written after wave 1 carry b.example's
+    # BASE priority, identical to the health-OFF run. Were the multiply
+    # persisted, b's priority would decay 0.5^k per retried wave and a
+    # recovered host could never climb back.
+    assert prio_on == prio_off
+    assert prio_on["b.example"] == pytest.approx(2.0)

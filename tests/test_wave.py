@@ -110,10 +110,13 @@ def test_frontier_next_disjoint_from_seen(two_waves):
 
 
 def test_fetch_at_schedule(two_waves, corpus_dfs):
-    """Engine-path crawl-delay schedule (VERDICT r3 "Next round" #4):
-    every scheduled row carries the crawl_delay of its url's FIRST
-    matching robots rule, and per domain the k-th row in fetch order
-    fetches at (k-1)*delay seconds into the wave."""
+    """Engine-path crawl-delay schedule (VERDICT r3 "Next round" #4;
+    running-sum semantics per ADVICE r4): every scheduled row carries
+    the crawl_delay of its url's FIRST matching robots rule, and per
+    domain the k-th row in fetch order fetches at the SUM of the
+    preceding k-1 slots' delays — monotone in fetch order even when
+    robots gives different delays to different path prefixes of one
+    host ((k-1)*delay when host-uniform)."""
     rules = {}
     for r in (
         corpus_dfs["robots_rules"]
@@ -133,13 +136,18 @@ def test_fetch_at_schedule(two_waves, corpus_dfs):
 
     results, _, _ = two_waves
     saw_nonzero = False
+    prev_at = collections.defaultdict(float)
     for res in results:
-        slots = collections.defaultdict(int)
+        cum = collections.defaultdict(float)
         for row in res["batch"]:  # already ordered by fetch_order
             want_delay = expected_delay(row.url)
             assert row.crawl_delay == want_delay, (row.url, row.crawl_delay)
-            k = slots[row.registered_domain]
-            assert row.fetch_at_s == pytest.approx(k * want_delay), row.url
-            slots[row.registered_domain] += 1
+            dom = row.registered_domain
+            assert row.fetch_at_s == pytest.approx(cum[dom]), row.url
+            # monotone within the domain regardless of per-path delays
+            assert row.fetch_at_s >= prev_at[dom] - 1e-9
+            prev_at[dom] = row.fetch_at_s
+            cum[dom] += want_delay
             saw_nonzero = saw_nonzero or want_delay > 0
+        prev_at.clear()
     assert saw_nonzero, "corpus exercised no nonzero crawl_delay"

@@ -290,8 +290,16 @@ class Crawl:
         if legacy:
             from pyspark.sql import Window
 
+            # chain position ≈ age: (wave, n_keys) ascending. Ties are
+            # possible in principle (two links written at one wave);
+            # row_number over a tied order is nondeterministic ACROSS
+            # READS, which would let link_id assignments flip between
+            # step() calls and send "newest link" updates to a stale
+            # blob (ADVICE r4). The xxhash64 of the filter bytes is a
+            # pure function of the row, so the assignment is stable on
+            # every re-read regardless of partition layout.
             w = Window.partitionBy("partition_id", "kind").orderBy(
-                "wave", "n_keys"
+                "wave", "n_keys", F.xxhash64(F.col("filter"))
             )
             parts.append(
                 legacy[-1].withColumn(

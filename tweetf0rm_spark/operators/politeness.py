@@ -43,9 +43,12 @@ from pyspark.sql import functions as F
 DEFAULT_BUDGET = 32
 N_SALTS = 8
 
-def _order():
-    # built lazily — Column construction needs an active SparkContext
-    return (F.desc("priority"), F.asc("depth"), F.asc("url_hash"))
+def _order(priority_col: str = "priority"):
+    # built lazily — Column construction needs an active SparkContext.
+    # ``priority_col`` lets the caller rank on a DERIVED effective
+    # priority (e.g. base × host-health) without mutating the base
+    # column that gets persisted back to the frontier (ADVICE r4).
+    return (F.desc(priority_col), F.asc("depth"), F.asc("url_hash"))
 
 
 def with_budget(
@@ -69,6 +72,7 @@ def politeness_rank(
     politeness_budget: DataFrame | None = None,
     n_salts: int = N_SALTS,
     default_budget: int = DEFAULT_BUDGET,
+    priority_col: str = "priority",
 ) -> DataFrame:
     """candidates + ``host_rank`` (1-based position in the per-domain
     order) + ``within_budget`` boolean. Exact two-phase salted top-k."""
@@ -76,12 +80,14 @@ def politeness_rank(
     salt = F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
     df = df.withColumn("_salt", salt)
 
-    w1 = Window.partitionBy("registered_domain", "_salt").orderBy(*_order())
+    w1 = Window.partitionBy("registered_domain", "_salt").orderBy(
+        *_order(priority_col)
+    )
     phase1 = df.withColumn("_r1", F.row_number().over(w1))
     survivors = phase1.filter(F.col("_r1") <= F.col("max_per_wave"))
     losers = phase1.filter(F.col("_r1") > F.col("max_per_wave"))
 
-    w2 = Window.partitionBy("registered_domain").orderBy(*_order())
+    w2 = Window.partitionBy("registered_domain").orderBy(*_order(priority_col))
     ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
 
     kept_cols = [c for c in phase1.columns if not c.startswith("_r")]
@@ -106,9 +112,12 @@ def apply_politeness(
     politeness_budget: DataFrame | None = None,
     n_salts: int = N_SALTS,
     default_budget: int = DEFAULT_BUDGET,
+    priority_col: str = "priority",
 ) -> DataFrame:
     """Split into fetchable rows vs DEFERRED via ``state`` column."""
-    ranked = politeness_rank(candidates, politeness_budget, n_salts, default_budget)
+    ranked = politeness_rank(
+        candidates, politeness_budget, n_salts, default_budget, priority_col
+    )
     return ranked.withColumn(
         "state",
         F.when(F.col("within_budget"), F.lit("QUEUED")).otherwise(

@@ -1266,23 +1266,28 @@ def crawl_delay_schedule(spark, sf):
          FROM polite WHERE host_rank <= 5),
        sched AS (
          SELECT url, registered_domain, fetch_order, crawl_delay,
-                row_number() OVER (PARTITION BY registered_domain
-                                   ORDER BY fetch_order) AS slot
+                sum(crawl_delay) OVER (PARTITION BY registered_domain
+                                       ORDER BY fetch_order
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - crawl_delay
+                  AS wait_s
          FROM batch WHERE fetch_order <= 150)
        SELECT fetch_order, url, registered_domain,
-              round((slot - 1) * crawl_delay, 1) AS fetch_at_s
+              round(wait_s, 1) AS fetch_at_s
        FROM sched""",
 )
 def crawl_fetch_schedule(spark, sf):
     """The engine's wave step 4b (wave.py), stated as an oracled query:
     robots_verdict carries ``crawl_delay`` to the schedule, politeness
     top-k picks WHO, the global fetch order ranks the batch, and the
-    per-domain slot window emits WHEN — ``fetch_at_s`` =
-    (slot−1)·crawl_delay seconds into the wave. Same operator chain as
-    ``run_wave`` (robots_verdict + windows); per-domain windows stay
-    bounded by the politeness budget, so no skew at scale. Golden-level
-    evidence on the ``.example`` corpus lives in
-    tests/test_wave.py::test_fetch_at_schedule."""
+    per-domain slot window emits WHEN — ``fetch_at_s`` = running sum of
+    the PRECEDING slots' crawl_delays (monotone in fetch order even if
+    robots gives different delays to different path prefixes of one
+    host; equals (slot−1)·delay when the delay is host-uniform — ADVICE
+    r4). Same operator chain as ``run_wave`` (robots_verdict +
+    windows); per-domain windows stay bounded by the politeness budget,
+    so no skew at scale. Golden-level evidence on the ``.example``
+    corpus lives in tests/test_wave.py::test_fetch_at_schedule."""
     fv = frontier_view(spark, sf)
     robots = spark.createDataFrame(
         [(f"host{d}.example", 0, True, "/", 0.5 * (1 + d % 4), "*")
@@ -1303,13 +1308,17 @@ def crawl_fetch_schedule(spark, sf):
     ordered = batch.withColumn("fetch_order", F.row_number().over(wg)).filter(
         F.col("fetch_order") <= 150
     )
-    ws = W.partitionBy("registered_domain").orderBy("fetch_order")
+    ws = (
+        W.partitionBy("registered_domain")
+        .orderBy("fetch_order")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return ordered.select(
         "fetch_order",
         "url",
         "registered_domain",
         F.round(
-            (F.row_number().over(ws) - 1) * F.col("crawl_delay"), 1
+            F.sum("crawl_delay").over(ws) - F.col("crawl_delay"), 1
         ).alias("fetch_at_s"),
     )
 

@@ -202,11 +202,16 @@ def run_wave(
     )
 
     # 1c. host health (§2.A A11 analogue): flapping hosts — high
-    #    failure rate over the last K waves — get their priority
-    #    downweighted BEFORE politeness ranking, so they stop absorbing
-    #    budget at full weight. Transient signal: the multiply is not
-    #    persisted, so a recovered host is back at full priority as
-    #    soon as its failures age out of the health window. Broadcast
+    #    failure rate over the last K waves — rank at downweighted
+    #    priority through politeness + fetch ordering, so they stop
+    #    absorbing budget at full weight. The downweight lives in a
+    #    DERIVED ``_eff_priority`` column used ONLY for ranking; the
+    #    base ``priority`` column is what frontier carryover, the retry
+    #    ledger and the fetch log persist (ADVICE r4: multiplying
+    #    ``priority`` in place compounded 0.25^k across deferred/retried
+    #    waves and starved a recovered host forever). Transient by
+    #    construction: `_eff_priority` is recomputed each wave from the
+    #    CURRENT health window and never written anywhere. Broadcast
     #    O(#domains) table — zero candidate-side shuffle.
     if host_health is not None:
         admitted = (
@@ -216,11 +221,13 @@ def run_wave(
                 "left",
             )
             .withColumn(
-                "priority",
+                "_eff_priority",
                 F.col("priority") * F.coalesce(F.col("health"), F.lit(1.0)),
             )
             .drop("health")
         )
+    else:
+        admitted = admitted.withColumn("_eff_priority", F.col("priority"))
 
     # 2. robots (broadcast per-host rule cache, zero candidate shuffle).
     #    crawl_delay rides along to the schedule step — robots says WHO
@@ -229,9 +236,15 @@ def run_wave(
     blocked = ruled.filter(~F.col("robots_allowed"))
     allowed = ruled.filter(F.col("robots_allowed")).drop("robots_allowed")
 
-    # 3. politeness: per-domain budget, salted exact two-phase top-k
+    # 3. politeness: per-domain budget, salted exact two-phase top-k.
+    #    Ranked on _eff_priority (= priority when health is off; health
+    #    is per-domain and the window is per-domain, so the multiplier
+    #    is constant inside each window — intra-domain order and the
+    #    within_budget selection are health-invariant; health bites in
+    #    the GLOBAL fetch order / batch cap below).
     polite = apply_politeness(
-        allowed, politeness_budget, n_salts=n_salts, default_budget=default_budget
+        allowed, politeness_budget, n_salts=n_salts,
+        default_budget=default_budget, priority_col="_eff_priority",
     )
     if persist:
         # feeds fetch batch, deferred carryover AND lineage — compute once
@@ -239,12 +252,13 @@ def run_wave(
     in_budget = polite.filter(F.col("within_budget"))
     deferred = polite.filter(~F.col("within_budget"))
 
-    # 4. global fetch order: (priority desc, depth, url_hash) [+ limit].
-    #    Two-phase distributed rank — a bare Window.orderBy would pull
-    #    the whole in-budget set through ONE task (operators/rank.py).
+    # 4. global fetch order: (eff-priority desc, depth, url_hash)
+    #    [+ limit]. Two-phase distributed rank — a bare Window.orderBy
+    #    would pull the whole in-budget set through ONE task
+    #    (operators/rank.py).
     batch = global_row_number(
         in_budget,
-        [F.desc("priority"), F.asc("depth"), F.asc("url_hash")],
+        [F.desc("_eff_priority"), F.asc("depth"), F.asc("url_hash")],
         name="fetch_order",
     )
     # the rank's internally-persisted range shuffle (exchange-consistency
@@ -258,19 +272,26 @@ def run_wave(
         batch = batch.filter(F.col("fetch_order") <= batch_size)
     # 4b. wall-clock schedule (§2.A A5's other half — the reference
     #    sleeps between API calls; the engine emits the schedule as
-    #    data): slot k on a domain fetches no earlier than
-    #    (k−1)·crawl_delay seconds into the wave. Slots follow the
-    #    global fetch order, so a fetch worker streaming its domain in
-    #    fetch_order reads fetch_at_s directly. The per-domain window
-    #    is bounded by the politeness budget (≤ max_per_wave rows per
-    #    domain survive), so no skew hazard at any corpus scale.
-    w_slot = Window.partitionBy("registered_domain").orderBy("fetch_order")
+    #    data): slot k on a domain fetches no earlier than the SUM of
+    #    the preceding slots' crawl_delays into the wave (running sum,
+    #    not (k−1)·own-delay — when robots gives different delays to
+    #    different path prefixes of one host, the running sum keeps the
+    #    schedule monotone in fetch order and honors each slot's
+    #    required gap; with a host-uniform delay the two formulas agree
+    #    — ADVICE r4). Slots follow the global fetch order, so a fetch
+    #    worker streaming its domain in fetch_order reads fetch_at_s
+    #    directly. The per-domain window is bounded by the politeness
+    #    budget (≤ max_per_wave rows per domain survive), so no skew
+    #    hazard at any corpus scale.
+    w_slot = (
+        Window.partitionBy("registered_domain")
+        .orderBy("fetch_order")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    _delay = F.coalesce(F.col("crawl_delay"), F.lit(0.0))
     sched = batch.withColumn(
         "fetch_at_s",
-        (
-            (F.row_number().over(w_slot) - 1)
-            * F.coalesce(F.col("crawl_delay"), F.lit(0.0))
-        ).cast("double"),
+        (F.sum(_delay).over(w_slot) - _delay).cast("double"),
     )
     fetch_batch = sched.select(
         *FRONTIER_COLS, "fetch_order", "crawl_delay", "fetch_at_s"
