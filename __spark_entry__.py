@@ -30,19 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries in iteration order.  After the r4 rotation every one of the
 # 107 registry queries has a driver-green record (CORRECTNESS_r01..r04
 # key-set union = full registry, r4 = 50/50 green).  Round-5 rotation:
-# refresh the STALEST evidence — the 36 queries last recorded in r2
-# and the 10 text-family queries last recorded in r3 — plus
-# crawl_fetch_schedule (its fetch_at_s semantics changed to the
-# running-sum formula this round, ADVICE r4) and one flagship per
-# remaining family for continuity (crawl wave / stream wave / media
-# decode).  The 11 r3-recorded queries left outside the window
-# (crawl_canonicalize etc.) keep their r3 driver records and their
+# refresh the STALEST evidence — 35 of the 36 queries last recorded
+# in r2 (case_when, twice green and trivial, yields its slot) and the
+# 10 text-family queries last recorded in r3 — plus the r5 addition
+# text_search_ranked (needs its first record), crawl_fetch_schedule
+# (its fetch_at_s semantics changed to the running-sum formula this
+# round, ADVICE r4) and one flagship per remaining family for
+# continuity (crawl wave / stream wave / media decode).  The queries
+# left outside the window keep their r2/r3 driver records and their
 # golden/pytest pins.  tests/test_entry.py pins the composition.
 _PRIORITY = [
-    # -- last driver-recorded in r2 (36: the stalest evidence) ---------
+    # -- last driver-recorded in r2 (35: the stalest evidence) ---------
     "scan_project_filter",
     "filter_in_like_null",
-    "case_when",
     "join_inner_agg",
     "join_left_nulls",
     "join_semi",
@@ -87,7 +87,8 @@ _PRIORITY = [
     "dedup_repeated_segments",
     "dedup_decontaminate",
     "text_vocab_coverage",
-    # -- changed this round (running-sum fetch_at_s) ---------------------
+    # -- new in r5 (A10 ranked search) + changed this round --------------
+    "text_search_ranked",
     "crawl_fetch_schedule",
     # -- family flagships for per-round continuity -----------------------
     "crawl_wave_schedule",

@@ -25,7 +25,7 @@ def test_entry_returns_rows(spark):
 def test_registry_shape():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 107
+    assert len(qs) >= 108
     assert set(oracles) <= set(qs)
     # since r4 EVERY registry query has a full value oracle (the media
     # decode stub's fake path became oracle-expressible) — keep it so
@@ -63,6 +63,8 @@ def test_registry_first50_covers_every_family():
     assert counts["stream"] >= 1
     assert counts["media"] >= 1
     for required in (
+        # new in r5 (A10 ranked search) — needs its first driver record
+        "text_search_ranked",
         # changed this round — must be re-recorded under new semantics
         "crawl_fetch_schedule",
         # family flagships for continuity

@@ -30,6 +30,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "ann_ivf_topk": 2,           # centroid assign (cells + query probe)
     "text_tfidf_topk": 1,        # 1-row n_docs
+    "text_search_ranked": 1,     # 1-row n_docs (idf), same as tfidf
     "text_vocab_coverage": 1,    # 1-row corpus total
     "pipeline_training_data": 2, # composed corpus-stat totals
     "ann_brute_force_topk": 1,   # broadcast 5-row query side ⋈≠ (the

@@ -1511,3 +1511,83 @@ def text_length_outliers(spark, sf):
             "doc_id", "lang", "n_chars", F.round("pr", 6).alias("pct_rank")
         )
     )
+
+
+@q(
+    "text_search_ranked",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       tf AS (
+         SELECT doc_id, w, count(*) AS tf
+         FROM tok WHERE w IN ('vector', 'stream', 'spark')
+         GROUP BY doc_id, w),
+       dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id,
+                round(sum(tf.tf * ln((n.n_docs + 1.0) / (dfr.df + 1.0))), 6)
+                  AS score,
+                count(*) AS n_terms_matched
+         FROM tf JOIN dfr USING (w) CROSS JOIN n
+         GROUP BY tf.doc_id),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         FROM scored)
+       SELECT CAST(rnk AS INT) AS rank,
+              CAST((rnk - 1) // 5 + 1 AS INT) AS page,
+              doc_id, score, n_terms_matched
+       FROM ranked WHERE rnk <= 20""",
+)
+def text_search_ranked(spark, sf):
+    """Ranked keyword search with result pagination — full parity for
+    §2.A A10 (the reference's ``search_by_query(q)`` cursor-paginates
+    search results; ``[U-med] twitter_api.py``): score = sum of
+    TF-IDF over matched query terms, top-20 by (score desc, doc_id),
+    ``page`` = the reference's cursor, 5 hits per page. Shuffle
+    profile: the term filter lands directly on the exploded tokens
+    (only query-term rows survive into the groupBy — candidate volume
+    is O(hits), not O(corpus tokens)); df comes from the same tiny tf
+    set; n_docs is a broadcast 1-row total (allowlisted BNLJ, same as
+    text_tfidf_topk). The global order is orderBy+limit —
+    TakeOrderedAndProject, a distributed partial top-k, NOT a
+    partitionless window; row_number runs on the 20 survivors only."""
+    terms = ["vector", "stream", "spark"]
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfr, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                ),
+                6,
+            ).alias("score"),
+            F.count("*").alias("n_terms_matched"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank",
+        (F.floor((F.col("rank") - 1) / 5) + 1).cast("int").alias("page"),
+        "doc_id",
+        "score",
+        "n_terms_matched",
+    )
